@@ -1,0 +1,240 @@
+"""The document-processing pipeline: pages table → meta + payload docs.
+
+Spark-first re-expression of the reference's flagship `index` pipeline
+(index.py:161-183 → ProcessRecords, process.py:90-196): a declarative
+DataFrame plan whose only Python stage is one Arrow-batched pandas UDF
+wrapping the oracle kernels (frontier_engine.oracle) — so pipeline output is
+byte-identical to the single-node oracle by construction.
+
+Plan shape (and why it scales):
+  scan pages (parquet/IceLite; columns pruned to what each consumer needs)
+    → canonicalize + xxhash64 (JVM built-in) → window dedup keep-newest per
+    url_norm (single shuffle on url_norm) → ONE pandas-UDF projection
+    (decode + parse + extract; narrow, no shuffle, Arrow-batched)
+    → meta / payload projections as two filters off one cached frame
+    (replaces beam.Partition fan-out, process.py:91-94)
+    → sortWithinPartitions(idx_id) on write (es_sink.py:155 determinism).
+
+The reference parses every record *before* filtering (process.py:161);
+here the cheap predicates (size bounds) run inside the kernel before any
+HTML parse, and Catalyst prunes the heavy `html` column away entirely for
+frontier-only queries that never touch it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+from frontier_engine import oracle
+from frontier_engine.identity import index_uuid, webis_uuid
+from frontier_engine.urlnorm import canonicalize_series, host_series
+
+# ---------------------------------------------------------------- schemas
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("idx_id", T.StringType()),
+        T.StructField("uuid", T.StringType()),
+        T.StructField("skip_reason", T.StringType()),
+        T.StructField("source_file", T.StringType()),
+        T.StructField("source_offset", T.LongType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_content_length", T.LongType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("content_encoding", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("meta_keywords", T.ArrayType(T.StringType())),
+        T.StructField("meta_desc", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("full_body", T.StringType()),
+        T.StructField("headings", T.ArrayType(T.StringType())),
+        T.StructField("lang", T.StringType()),
+        T.StructField("body_length", T.LongType()),
+        T.StructField("warc_target_hostname", T.StringType()),
+        T.StructField("warc_target_path", T.StringType()),
+        T.StructField("warc_target_query_string", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+META_COLUMNS = [
+    "uuid",
+    "source_file",
+    "source_offset",
+    "warc_date",
+    "warc_target_uri",
+    "content_type",
+    "content_length",
+    "http_content_length",
+    "http_content_type",
+    "content_encoding",
+]
+
+PAYLOAD_COLUMNS = [
+    "uuid",
+    "date",
+    "lang",
+    "body_length",
+    "warc_target_uri",
+    "warc_target_hostname",
+    "warc_target_path",
+    "warc_target_query_string",
+    "content_type",
+    "title",
+    "meta_keywords",
+    "meta_desc",
+    "body",
+    "full_body",
+    "headings",
+]
+
+
+# ---------------------------------------------------------------- stages
+
+def canonicalized(df: DataFrame) -> DataFrame:
+    """Add url_norm / host / url_hash.
+
+    Canonicalization is a pandas kernel (north_rule mandate); the hash is
+    Spark's JVM-side xxhash64 so bloom builders receive the hash as data and
+    never need a Python hash implementation.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def _canon(urls: pd.Series) -> pd.Series:
+        return canonicalize_series(urls)
+
+    @F.pandas_udf(T.StringType())
+    def _host(urls_norm: pd.Series) -> pd.Series:
+        return host_series(urls_norm)
+
+    return (
+        df.withColumn("url_norm", _canon(F.col("url")))
+        .withColumn("host", _host(F.col("url_norm")))
+        .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+    )
+
+
+def dedup_newest(df: DataFrame, key: str = "url_norm") -> DataFrame:
+    """Keep the newest record per canonical URL (SURVEY.md §2.4 keep-newest;
+    analog of ES last-write-wins by _id). Deterministic tie-break on the raw
+    url string. One shuffle on `key`."""
+    w = Window.partitionBy(key).orderBy(F.col("warc_ts").desc(), F.col("url").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def make_process_udf(id_prefix: str, max_payload_size: int = oracle.MAX_DOCUMENT_SIZE,
+                     trust_http_content_type: bool = False):
+    """One Arrow-batched kernel call per row-batch: the full reference
+    lifecycle (decode → predicates → extract → project), process.py:131-306."""
+
+    @F.pandas_udf(DOC_SCHEMA)
+    def _process(urls: pd.Series, ts_ms: pd.Series, htmls: pd.Series) -> pd.DataFrame:
+        out = []
+        for url, t, html in zip(urls, ts_ms, htmls):
+            ts = pd.Timestamp(int(t), unit="ms", tz="UTC").to_pydatetime()
+            r = oracle.process_page(
+                url,
+                ts,
+                bytes(html) if html is not None else b"",
+                id_prefix=id_prefix,
+                max_payload_size=max_payload_size,
+                always_index_meta=True,  # meta struct always filled; kept/dropped downstream
+                trust_http_content_type=trust_http_content_type,
+            )
+            m = r.meta or {}
+            p = r.payload or {}
+            out.append(
+                {
+                    "idx_id": r.idx_id,
+                    "uuid": m.get("uuid"),
+                    "skip_reason": r.skip_reason or "",
+                    "source_file": m.get("source_file"),
+                    "source_offset": m.get("source_offset"),
+                    "warc_date": m.get("warc_date"),
+                    "content_type": m.get("content_type"),
+                    "content_length": m.get("content_length"),
+                    "http_content_length": m.get("http_content_length"),
+                    "http_content_type": m.get("http_content_type"),
+                    "content_encoding": m.get("content_encoding"),
+                    "title": p.get("title"),
+                    "meta_keywords": p.get("meta_keywords"),
+                    "meta_desc": p.get("meta_desc"),
+                    "body": p.get("body"),
+                    "full_body": p.get("full_body"),
+                    "headings": p.get("headings"),
+                    "lang": p.get("lang"),
+                    "body_length": p.get("body_length"),
+                    "warc_target_hostname": p.get("warc_target_hostname"),
+                    "warc_target_path": p.get("warc_target_path"),
+                    "warc_target_query_string": p.get("warc_target_query_string"),
+                    "links": r.links or [],
+                }
+            )
+        return pd.DataFrame(out)
+
+    return _process
+
+
+def processed(df: DataFrame, id_prefix: str = "synth", **kw) -> DataFrame:
+    """pages (canonicalized, deduped) → one row per doc with `doc` struct."""
+    udf = make_process_udf(id_prefix, **kw)
+    return df.withColumn(
+        "doc", udf(F.col("url"), F.unix_millis(F.col("warc_ts")), F.col("html"))
+    )
+
+
+def meta_docs(proc: DataFrame, always_index_meta: bool = False) -> DataFrame:
+    """Meta-index projection (create_metadata, process.py:198-235). Kept iff
+    payload survived or always_index_meta (process.py:193-195)."""
+    keep = F.lit(True) if always_index_meta else (F.col("doc.skip_reason") == "")
+    cols = [F.col("doc.idx_id").alias("idx_id")] + [
+        (F.col("url") if c == "warc_target_uri" else F.col(f"doc.{c}")).alias(c)
+        for c in META_COLUMNS
+    ]
+    return proc.where(keep).select(*cols)
+
+
+def payload_docs(proc: DataFrame) -> DataFrame:
+    """Payload-index projection (create_payload, process.py:237-306)."""
+    cols = [F.col("doc.idx_id").alias("idx_id")] + [
+        (
+            F.col("url").alias(c)
+            if c == "warc_target_uri"
+            else F.col("doc.warc_date").alias(c)
+            if c == "date"
+            else F.col(f"doc.{c}").alias(c)
+        )
+        for c in PAYLOAD_COLUMNS
+    ]
+    return proc.where(F.col("doc.skip_reason") == "").select(*cols)
+
+
+def skip_counters(proc: DataFrame) -> DataFrame:
+    """Per-reason skip counters — the distributed-metrics analog of the
+    reference's Metrics.counter (process.py:120,141) as a tiny agg."""
+    return (
+        proc.groupBy(F.coalesce(F.nullif(F.col("doc.skip_reason"), F.lit("")), F.lit("ok")).alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("reason")
+    )
+
+
+def run_pipeline(pages: DataFrame, id_prefix: str = "synth", always_index_meta: bool = False) -> dict:
+    """Full flagship pipeline. Returns dict of DataFrames; `proc` is cached
+    because meta and payload branch from it (beam fan-out analog)."""
+    proc = processed(dedup_newest(canonicalized(pages)), id_prefix=id_prefix)
+    proc = proc.persist()
+    return {
+        "proc": proc,
+        "meta": meta_docs(proc, always_index_meta).sortWithinPartitions("idx_id"),
+        "payload": payload_docs(proc).sortWithinPartitions("idx_id"),
+        "counters": skip_counters(proc),
+    }

@@ -1,0 +1,61 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local-mode defaults tuned for the sandbox (single JVM, 32 threads), but every
+setting is the one we would ship to a 1000-executor cluster: AQE on (runtime
+skew-join + partition coalescing), Arrow transport for the pandas-UDF
+boundary, UTC session time (duckdb-oracle comparability), shuffle
+partitions ≈ parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship frontier_engine to executors as a zip (spark-submit --py-files
+    model). Without this, Python workers launched outside the repo cwd
+    cannot unpickle the pandas-UDF closures."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    tmp = tempfile.mkdtemp(prefix="fe_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "frontier_engine"), "zip", root_dir=root, base_dir="frontier_engine"
+    )
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    cores: int | None = None,
+    app: str = "frontier_engine",
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark

@@ -1,0 +1,193 @@
+"""Unit tests for the pure kernels (SURVEY.md §5.1): identity, urlnorm,
+dates, extraction rules. Golden vectors computed from the reference
+algorithms (process.py:319-389) re-derived independently here."""
+
+from __future__ import annotations
+
+import base64
+import uuid as uuidlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from frontier_engine import extract as ex
+from frontier_engine.identity import (
+    clip_warc_date,
+    index_uuid,
+    urlsafe_b64,
+    webis_uuid,
+    ws_collapse,
+)
+from frontier_engine.urlnorm import canonicalize_url, host_of
+
+
+class TestIdentity:
+    def test_urlsafe_b64(self):
+        assert urlsafe_b64("a/b+c") == "a-b_c"
+
+    def test_webis_uuid_golden(self):
+        # independent re-derivation of process.py:319-329
+        u = uuidlib.uuid5(uuidlib.NAMESPACE_URL, "clueweb09:clueweb09-en0044-22-32198")
+        want = base64.b64encode(u.bytes)[:-2].decode().translate({47: 45, 43: 95})
+        assert webis_uuid("clueweb09", "clueweb09-en0044-22-32198") == want
+        assert len(webis_uuid("p", "x")) == 22
+
+    def test_index_uuid_field_layout(self):
+        # decode the b64 back into a UUID and check the field math (process.py:347-374)
+        out = index_uuid(0x123456789AB, 0xDEADBEEF, "file.warc.gz", "docid")
+        raw = base64.b64decode(out.translate({45: 47, 95: 43}) + "==")
+        u = uuidlib.UUID(bytes=raw)
+        assert u.time_low == 0x3456789AB & 0xFFFFFFFF
+        assert u.time_mid == (0x123456789AB >> 32) & 0xFFFF
+        assert (u.time_hi_version & 0x3FFF) | 0x1000 == u.time_hi_version
+        assert u.time_hi_version & 0x3FFF == (0xDEADBEEF >> 16) & 0x3FFF
+        assert u.clock_seq_low == 0xDEADBEEF & 0xFF
+
+    def test_index_uuid_time_ordered(self):
+        # sorting by idx_id sorts by (time mod 2^48, offset) — es_sink.py:155 analog
+        a = index_uuid(1000, 0, "f", "d")
+        b = index_uuid(2000, 0, "f", "d")
+        assert a != b
+
+    def test_clip_warc_date(self):
+        assert clip_warc_date("2009-03-82T07:34:44-0700") == "2009-03-31T07:34:44-0700"
+        assert clip_warc_date("2021-02-30T00:00:00Z") == "2021-02-28T00:00:00Z"
+        assert clip_warc_date("2020-02-29T01:02:03Z") == "2020-02-29T01:02:03Z"
+        assert clip_warc_date("2021-12-01T00:00:00Z") == "2021-12-01T00:00:00Z"
+
+    def test_ws_collapse(self):
+        assert ws_collapse("  a \t\n b  ") == "a b"
+
+
+class TestUrlNorm:
+    CASES = [
+        ("HTTPS://WWW.Example.COM:443/a/../b/./c.html#frag", "https://www.example.com/b/c.html"),
+        ("http://Host.com:80/%7euser/%41b?x=%2f", "http://host.com/~user/Ab?x=%2F"),
+        ("host.com/path", "http://host.com/path"),
+        ("https://h.com", "https://h.com/"),
+        ("http://h.com:8080/a", "http://h.com:8080/a"),
+        ("http://h.com./a?", "http://h.com/a"),
+        ("http://h.com/a/b/../../c", "http://h.com/c"),
+        ("http://h.com/%2F%2f", "http://h.com/%2F%2F"),
+    ]
+
+    @pytest.mark.parametrize("inp,want", CASES)
+    def test_cases(self, inp, want):
+        assert canonicalize_url(inp) == want
+
+    @pytest.mark.parametrize("inp,want", CASES)
+    def test_idempotent_cases(self, inp, want):
+        assert canonicalize_url(want) == want
+
+    @given(st.text(alphabet="abcXYZ019/.%:?#&=~_-", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_idempotent_property(self, tail):
+        u = canonicalize_url("http://ex.com/" + tail)
+        assert canonicalize_url(u) == u
+
+    def test_host_of(self):
+        assert host_of("https://a.b.com:8080/x?y=1") == "a.b.com"
+        assert host_of("http://u:p@h.io/x") == "h.io"
+
+
+class TestCharsetAndMime:
+    def test_bom(self):
+        assert ex.detect_encoding(b"\xef\xbb\xbfhello") == "utf-8-sig"
+        assert ex.bytes_to_str(b"\xef\xbb\xbfhello", "utf-8-sig") == "hello"
+
+    def test_utf8_then_cp1252(self):
+        assert ex.detect_encoding("héllo".encode()) == "utf-8"
+        assert ex.detect_encoding("héllo".encode("latin-1")) == "windows-1252"
+        assert ex.bytes_to_str("héllo".encode("latin-1"), "windows-1252") == "héllo"
+
+    def test_decode_never_raises(self):
+        assert isinstance(ex.bytes_to_str(b"\xff\xfe\xfd", "bogus-enc"), str)
+
+    def test_mime_magic(self):
+        assert ex.detect_mime(b"\x89PNG\r\n\x1a\n1234") == "image/png"
+        assert ex.detect_mime(b"%PDF-1.4") == "application/pdf"
+        assert ex.detect_mime(b"<!DOCTYPE html><html>") == "text/html"
+        assert ex.detect_mime(b"just some plain text here") == "text/plain"
+        assert ex.detect_mime(bytes(range(256))) == "application/octet-stream"
+
+
+HTML = """<!doctype html><html><head><title> My   Title </title>
+<meta name="description" content=" A   description ">
+<meta name="keywords" content="B, a , b, A, , {long}">
+</head><body><nav><a href="/x">x</a></nav>
+<h1>Head  ing</h1><main><p>First para.</p><p>Second
+para.</p><img alt="alt text"><ul><li>one</li><li>two</li></ul></main>
+<footer>foot</footer></body></html>""".format(long="z" * 100)
+
+
+class TestExtraction:
+    def test_title_chain(self):
+        doc = ex.parse_html(HTML)
+        assert ex.get_title(doc) == "My Title"
+        d2 = ex.parse_html("<html><body><h1>H1  T</h1></body></html>")
+        assert ex.get_title(d2) == "H1 T"
+        d3 = ex.parse_html("<html><body><h2>H2 T</h2></body></html>")
+        assert ex.get_title(d3) == "H2 T"
+        d4 = ex.parse_html('<html><body><div class="title">C T</div></body></html>')
+        assert ex.get_title(d4) == "C T"
+        d5 = ex.parse_html("<html><body><p>x</p></body></html>")
+        assert ex.get_title(d5) == ""
+
+    def test_meta_desc(self):
+        assert ex.get_meta_desc(ex.parse_html(HTML)) == "A description"
+
+    def test_meta_keywords_dedup_cap_sort(self):
+        kws = ex.get_meta_keywords(ex.parse_html(HTML))
+        assert kws == ["", "a", "b", "z" * 80]  # lowercased, deduped, 80-char cap, sorted
+
+    def test_headings_reference_quirk(self):
+        # process.py:473 queries head, not body → effectively empty
+        assert ex.get_headings(ex.parse_html(HTML)) == []
+
+    def test_no_body(self):
+        assert ex.parse_html("<html><head><title>t</title></head></html>").body is None
+        assert ex.parse_html("<html><head><title>t</title></head><body></body></html>").body is not None
+
+    def test_full_text_single_line(self):
+        doc = ex.parse_html(HTML)
+        t = ex.extract_plain_text(doc, alt_texts=True, preserve_formatting=False)
+        assert "\n" not in t
+        assert "alt text" in t and "First para." in t and "foot" in t
+
+    def test_main_text_formatting(self):
+        doc = ex.parse_html(HTML)
+        t = ex.extract_plain_text(doc, main_content=True, alt_texts=True,
+                                  preserve_formatting=True, list_bullets=False)
+        assert "First para.\nSecond para." in t
+        assert "foot" not in t and "x" not in t.split()  # nav/footer excluded
+        assert "- one" not in t and "one" in t  # no list bullets
+
+    def test_alt_text_toggle(self):
+        doc = ex.parse_html(HTML)
+        t = ex.extract_plain_text(doc, alt_texts=False, preserve_formatting=False)
+        assert "alt text" not in t
+
+    def test_script_style_excluded(self):
+        d = ex.parse_html("<body><script>var a=1;</script><style>p{}</style><p>keep</p></body>")
+        assert ex.extract_plain_text(d, preserve_formatting=False) == "keep"
+
+    def test_links(self):
+        doc = ex.parse_html(HTML)
+        assert ex.get_links(doc) == ["/x"]
+
+
+class TestLangDetect:
+    @pytest.mark.parametrize(
+        "text,lang",
+        [
+            ("The cat and the dog are in the house and it is not small for them.", "en"),
+            ("Der Hund und die Katze sind nicht in dem Haus und das ist ein Problem.", "de"),
+            ("Le chien est dans la maison et les chats ne sont pas avec une souris.", "fr"),
+            ("こんにちは、これは日本語のテキストです。ありがとうございます。", "ja"),
+            ("Это русский текст для проверки определения языка в движке.", "ru"),
+            ("", "unknown"),
+            ("12345 67890 !!!", "unknown"),
+        ],
+    )
+    def test_langs(self, text, lang):
+        assert ex.detect_lang(text)[0] == lang
