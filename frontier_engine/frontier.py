@@ -1,0 +1,305 @@
+"""The crawl-frontier engine: iterative rounds with snapshot checkpoints.
+
+Each round (north_rule pipeline):
+
+  pending candidates ──canonicalized at ingest──▶
+    1. URL-seen filter   bloom prefilter + exact left_anti (urlseen.py)
+    2. robots gate       broadcast join + rule kernel     (politeness.py)
+    3. schedule          per-host PQ, budget-capped        (politeness.py)
+    4. "fetch"           equi join against the pages table (keep-newest)
+    5. process           extraction pipeline               (pipeline.py)
+    6. discover          links → canonicalize → new pending candidates
+    7. commit            IceLite snapshot: frontier/seen/shards replaced,
+                         schedule/meta/payload appended, counters +
+                         per-partition lineage in the manifest (icelite.py)
+
+Determinism: candidate identity is idx_id = index_uuid(round-millis,
+url-derived offset, url-derived source file, webis_uuid(url_norm)) — the
+reference's identity scheme (process.py:319-374) applied to frontier rows;
+schedules order by (priority DESC, idx_id ASC) per host. A killed job
+resumes from the last committed snapshot with an identical schedule
+(tests/test_frontier.py::test_resume_determinism).
+
+Scale: the only frontier-wide shuffles are the seen anti-join (bloom-pruned)
+and the per-host window/groupBy; the pages fetch join is an equi join on
+url_norm that AQE turns into a broadcast when the scheduled set is small.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from frontier_engine import pipeline, politeness, urlseen
+from frontier_engine.icelite import IceLite
+from frontier_engine.identity import index_uuid, webis_uuid
+from frontier_engine.oracle import derive_source
+from frontier_engine.urlnorm import canonicalize_series, host_series
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("idx_id", T.StringType(), False),
+    ]
+)
+
+SEEN_SCHEMA = "url_hash long, url_norm string"
+PRIORITY_DECAY = 0.5
+
+
+def _candidate_idx_id_udf(id_prefix: str):
+    """idx_id for a frontier candidate: the reference identity kernels over
+    (round-as-time, url-derived source) — deterministic across resumes."""
+
+    @F.pandas_udf(T.StringType())
+    def mk(url_norm: pd.Series, round_no: pd.Series) -> pd.Series:
+        out = []
+        for u, r in zip(url_norm, round_no):
+            src, off = derive_source(u)
+            out.append(index_uuid(int(r) * 1000, off, src, webis_uuid(id_prefix, u)))
+        return pd.Series(out, dtype="object")
+
+    return mk
+
+
+def candidates_from_urls(df: DataFrame, round_no: int, id_prefix: str,
+                         priority_col: str = "priority") -> DataFrame:
+    """urls (+priority) → frontier rows (canonicalized, hashed, identified)."""
+
+    @F.pandas_udf(T.StringType())
+    def _canon(urls: pd.Series) -> pd.Series:
+        return canonicalize_series(urls)
+
+    @F.pandas_udf(T.StringType())
+    def _host(urls_norm: pd.Series) -> pd.Series:
+        return host_series(urls_norm)
+
+    mk_id = _candidate_idx_id_udf(id_prefix)
+    out = (
+        df.withColumn("url_norm", _canon(F.col("url")))
+        .withColumn("priority", F.coalesce(F.col(priority_col).cast("double"), F.lit(0.5)))
+        # duplicate spellings of one page collapse here; keep max priority
+        .groupBy("url_norm")
+        .agg(F.max("priority").alias("priority"))
+        .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+        .withColumn("host", _host(F.col("url_norm")))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("round", F.lit(round_no).cast("int"))
+        .withColumn("idx_id", mk_id(F.col("url_norm"), F.col("round")))
+    )
+    return out.select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        id_prefix: str = "synth",
+        n_shards: int = 64,
+        bloom_bits: int = 1 << 20,
+        budget: int = politeness.DEFAULT_BUDGET,
+    ):
+        self.spark = spark
+        self.store = IceLite(store_root)
+        self.id_prefix = id_prefix
+        self.n_shards = n_shards
+        self.bloom_bits = bloom_bits
+        self.budget = budget
+
+    # ------------------------------------------------------------- state
+
+    def initialized(self) -> bool:
+        return self.store.current_snapshot_id() is not None
+
+    def init(self, seeds: DataFrame, robots: DataFrame) -> int:
+        """Snapshot 0: seeded frontier + robots + empty seen/shards."""
+        frontier = candidates_from_urls(seeds, round_no=0, id_prefix=self.id_prefix)
+        empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+        empty_shards = self.spark.createDataFrame([], urlseen.SHARD_SCHEMA)
+        return self.store.commit(
+            tables={
+                "frontier": frontier,
+                "seen": empty_seen,
+                "urlseen_shards": empty_shards,
+                "robots": robots,
+            },
+            counters={"round": -1, "seeded": frontier.count()},
+            note="init",
+        )
+
+    def _read(self, table: str) -> Optional[DataFrame]:
+        return self.store.read(self.spark, table)
+
+    # ------------------------------------------------------------- round
+
+    def run_round(self, pages_prepared: DataFrame, round_seconds: int = politeness.ROUND_SECONDS) -> dict:
+        """One frontier round against a prepared pages table
+        (``pipeline.canonicalized`` + ``pipeline.dedup_newest`` applied).
+        Returns the committed counters."""
+        spark = self.spark
+        round_no = self.store.snapshot(self.store.current_snapshot_id())["counters"].get("round", -1) + 1
+
+        frontier = self._read("frontier")
+        seen = self._read("seen")
+        shards = self._read("urlseen_shards")
+        robots = self._read("robots")
+
+        pending = frontier.where(F.col("status") == "pending")
+        settled = frontier.where(F.col("status") != "pending")
+
+        # 1. URL-seen: bloom prefilter + exact anti join
+        unseen = urlseen.filter_unseen(pending, shards, seen, self.n_shards).persist()
+        dup = pending.join(unseen.select("url_hash"), "url_hash", "left_anti")
+
+        # 2. robots gate
+        gated = politeness.apply_robots_gate(unseen, robots)
+        allowed = gated.where(F.col("robots_allowed"))
+        blocked = gated.where(~F.col("robots_allowed"))
+
+        # 3. per-host PQ schedule
+        sched_all = politeness.schedule_hosts(allowed, budget=self.budget, round_seconds=round_seconds).persist()
+        scheduled = sched_all.where(F.col("scheduled"))
+        n_allowed = allowed.count()
+        n_scheduled = scheduled.count()
+
+        # 4. fetch: equi join on url_norm against keep-newest pages
+        fetch_cols = ["url_norm", "url_hash", "host", "priority", "idx_id", "seq"]
+        fetched_rows = scheduled.select(*fetch_cols).join(
+            pages_prepared.select("url_norm", "url", "warc_ts", "html"), "url_norm", "inner"
+        ).persist()
+        missing = scheduled.select("url_norm", "url_hash", "host", "priority", "idx_id").join(
+            fetched_rows.select("url_norm"), "url_norm", "left_anti"
+        )
+
+        # 5. process fetched pages (extraction pipeline; idx_id from page identity)
+        proc = pipeline.processed(fetched_rows, id_prefix=self.id_prefix).persist()
+        meta = pipeline.meta_docs(proc).sortWithinPartitions("idx_id")
+        payload = pipeline.payload_docs(proc).sortWithinPartitions("idx_id")
+        n_docs_ok = proc.where(F.col("doc.skip_reason") == "").count()
+
+        # 6. discover links → next round's pending candidates
+        links = (
+            proc.select(
+                F.col("priority").alias("parent_priority"),
+                F.col("url").alias("base_url"),
+                F.explode_outer(F.col("doc.links")).alias("href"),
+            )
+            .where(F.col("href").isNotNull())
+        )
+
+        @F.pandas_udf(T.StringType())
+        def resolve(base: pd.Series, href: pd.Series) -> pd.Series:
+            from urllib.parse import urljoin
+
+            return pd.Series(
+                [urljoin(b, h) if h is not None else None for b, h in zip(base, href)],
+                dtype="object",
+            )
+
+        discovered = candidates_from_urls(
+            links.select(
+                resolve(F.col("base_url"), F.col("href")).alias("url"),
+                (F.col("parent_priority") * PRIORITY_DECAY).alias("priority"),
+            ),
+            round_no=round_no + 1,
+            id_prefix=self.id_prefix,
+        )
+
+        # 7. new state
+        mark = lambda df, status: df.select(
+            "url_norm", "url_hash", "host", "priority",
+            F.lit(status).alias("status"), F.lit(round_no).cast("int").alias("round"), "idx_id",
+        )
+        fetched_state = mark(fetched_rows, "fetched")
+        missing_state = mark(missing, "missing")
+        dup_state = mark(dup, "dup")
+        blocked_state = mark(blocked, "skipped_robots")
+        # not scheduled this round → stays pending (budget carry-over)
+        leftover = (
+            pending
+            .join(scheduled.select("url_hash"), "url_hash", "left_anti")
+            .join(dup.select("url_hash"), "url_hash", "left_anti")
+            .join(blocked.select("url_hash"), "url_hash", "left_anti")
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        new_pending = discovered.join(
+            frontier.select("url_hash").union(fetched_state.select("url_hash")).distinct(),
+            "url_hash",
+            "left_anti",
+        )
+        new_frontier = (
+            settled.unionByName(fetched_state)
+            .unionByName(missing_state)
+            .unionByName(dup_state)
+            .unionByName(blocked_state)
+            .unionByName(leftover)
+            .unionByName(new_pending)
+        )
+        new_seen = seen.unionByName(scheduled.select("url_hash", "url_norm")).distinct()
+        round_shards = urlseen.build_shards(
+            scheduled.select("url_hash"), self.n_shards, self.bloom_bits
+        )
+        new_shards = (
+            urlseen.merge_shards(shards, round_shards) if shards.take(1) else round_shards
+        )
+
+        schedule_out = scheduled.select(
+            F.lit(round_no).cast("int").alias("round"),
+            "host", "seq", "url_norm", "idx_id", "priority",
+        )
+
+        counters = {
+            "round": round_no,
+            "pending_in": pending.count(),
+            "dup": dup.count(),
+            "skipped_robots": blocked.count(),
+            "skipped_budget": n_allowed - n_scheduled,
+            "scheduled": n_scheduled,
+            "fetched": fetched_rows.count(),
+            "missing": missing.count(),
+            "docs_ok": n_docs_ok,
+            "discovered_new": new_pending.count(),
+        }
+        # per-partition lineage: rows touched per urlseen shard this round
+        lineage = [
+            {"shard_id": r["shard_id"], "scheduled": r["n"]}
+            for r in scheduled.groupBy(urlseen.shard_of(F.col("url_hash"), self.n_shards).alias("shard_id"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        self.store.commit(
+            tables={
+                "frontier": new_frontier,
+                "seen": new_seen,
+                "urlseen_shards": new_shards,
+            },
+            append_tables={"schedule": schedule_out, "meta_docs": meta, "payload_docs": payload},
+            carry_tables=["robots"],
+            counters=counters,
+            lineage=lineage,
+            note=f"round-{round_no}",
+        )
+        for df in (unseen, sched_all, fetched_rows, proc):
+            df.unpersist()
+        return counters
+
+    # ------------------------------------------------------------- loop
+
+    def run(self, pages: DataFrame, n_rounds: int, round_seconds: int = politeness.ROUND_SECONDS) -> list[dict]:
+        pages_prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
+        out = []
+        for _ in range(n_rounds):
+            out.append(self.run_round(pages_prepared, round_seconds))
+        pages_prepared.unpersist()
+        return out
+
+    def schedule_table(self) -> Optional[DataFrame]:
+        return self._read("schedule")

@@ -1,0 +1,131 @@
+"""IceLite — Iceberg-semantics snapshot layer over plain parquet + JSON.
+
+No Iceberg runtime jar is reachable in-sandbox (SURVEY.md §7.0), so this
+module delivers the subset of Iceberg semantics the engine needs — atomic
+snapshot commit, time travel, per-partition lineage — with parquet data
+files and JSON manifests, keeping a ``load/append/commit/snapshots``-shaped
+API so a real Iceberg catalog can be swapped in where jars exist.
+
+It replaces the reference's Redis split-range resume cache
+(warcio.py:120-134,172-174): instead of per-split "start:end" records, a
+killed job re-reads the **last committed snapshot** and recomputes nothing.
+
+Commit protocol (single-writer, crash-safe):
+  1. write each table's parquet under  data/<table>/snap-<id>/   (Spark
+     writer; _SUCCESS marker closes the files),
+  2. write  metadata/snap-<id>.json.tmp  (tables, counters, lineage, parent)
+     and atomically  rename → snap-<id>.json,
+  3. write  metadata/current.json.tmp  and atomically rename over
+     current.json  — THE commit point; a crash before it leaves the
+     previous snapshot current and the orphan files inert.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IceLite:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------- reads
+
+    def _meta_path(self, snap_id: int) -> str:
+        return os.path.join(self.root, "metadata", f"snap-{snap_id}.json")
+
+    def current_snapshot_id(self) -> Optional[int]:
+        cur = os.path.join(self.root, "metadata", "current.json")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return json.load(f)["current"]
+
+    def snapshot(self, snap_id: int) -> dict:
+        with open(self._meta_path(snap_id)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """All committed snapshots, oldest first (time travel index)."""
+        out = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            s = self.snapshot(sid)
+            out.append(s)
+            sid = s.get("parent")
+        return list(reversed(out))
+
+    def read(self, spark: SparkSession, table: str, snapshot_id: Optional[int] = None) -> Optional[DataFrame]:
+        """Read a table at a snapshot (default: current). None if absent."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        path = self.snapshot(sid)["tables"].get(table)
+        if path is None:
+            return None
+        return spark.read.parquet(*path) if isinstance(path, list) else spark.read.parquet(path)
+
+    # ------------------------------------------------------------ commits
+
+    def commit(
+        self,
+        tables: dict[str, DataFrame],
+        counters: Optional[dict] = None,
+        lineage: Optional[list[dict]] = None,
+        carry_tables: Optional[list[str]] = None,
+        append_tables: Optional[dict[str, DataFrame]] = None,
+        note: str = "",
+    ) -> int:
+        """Atomically commit a new snapshot.
+
+        ``tables``        — DataFrames replacing the table in this snapshot.
+        ``append_tables`` — DataFrames appended: the manifest entry becomes
+                            the parent's file list + this snapshot's files
+                            (Iceberg append-snapshot semantics, no rewrite).
+        ``carry_tables``  — tables inherited from the parent unchanged
+                            (manifest points at the parent's files; no IO).
+        ``counters``      — round metrics (fetched/skipped/dup…, north_rule).
+        ``lineage``       — per-partition provenance rows.
+        """
+        parent = self.current_snapshot_id()
+        snap_id = 0 if parent is None else parent + 1
+        parent_tables = self.snapshot(parent)["tables"] if parent is not None else {}
+        manifest_tables: dict[str, str | list] = {}
+        for t in carry_tables or []:
+            if t in parent_tables:
+                manifest_tables[t] = parent_tables[t]
+        for name, df in tables.items():
+            path = os.path.join(self.root, "data", name, f"snap-{snap_id}")
+            df.write.mode("errorifexists").parquet(path)
+            manifest_tables[name] = path
+        for name, df in (append_tables or {}).items():
+            path = os.path.join(self.root, "data", name, f"snap-{snap_id}")
+            df.write.mode("errorifexists").parquet(path)
+            prev = parent_tables.get(name, [])
+            prev = prev if isinstance(prev, list) else [prev]
+            manifest_tables[name] = prev + [path]
+        manifest = {
+            "id": snap_id,
+            "parent": parent,
+            "committed_at": time.time(),
+            "note": note,
+            "tables": manifest_tables,
+            "counters": counters or {},
+            "lineage": lineage or [],
+        }
+        mpath = self._meta_path(snap_id)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(mpath + ".tmp", mpath)
+        cur = os.path.join(self.root, "metadata", "current.json")
+        with open(cur + ".tmp", "w") as f:
+            json.dump({"current": snap_id}, f)
+        os.rename(cur + ".tmp", cur)  # commit point
+        return snap_id

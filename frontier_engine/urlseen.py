@@ -1,0 +1,165 @@
+"""Partitioned bloom-filter URL-seen set.
+
+Replaces the reference's Redis resume/seen cache (warcio.py:120-134,172-174)
+with engine-owned distributed state:
+
+- URLs are hashed JVM-side (``xxhash64(url_norm)`` — no Python hash
+  implementation anywhere; workers receive the hash as data),
+- hash space is sharded by ``pmod(url_hash, n_shards)``; each shard is an
+  independent bloom bitmap built/merged per-group via ``applyInPandas``
+  (state size ∝ shards × bitmap, not ∝ rows seen),
+- membership is a broadcast join of the (small) shard table onto candidates
+  + a vectorized numpy bit-test in ``mapInPandas``,
+- bloom "maybe-seen" hits get an exact ``left_anti`` pass against the seen
+  table: the bloom gives no-false-negative *pruning*, the anti join removes
+  the false positives (SURVEY.md §2.3).
+
+Scale math (documented for the 10^10 target): 10^10 URLs at 1% FPR need
+~9.6 bits/URL ≈ 12 GB of bitmap. With 4096 shards that is ~3 MB/shard —
+each a single row, joinable/broadcastable; shard build groups see only
+their own hash partition. In-sandbox defaults are scaled down (64 shards,
+2^20 bits) but the code path is identical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("filter_bytes", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("capacity", T.LongType(), False),
+        T.StructField("fpr", T.DoubleType(), False),
+    ]
+)
+
+
+def optimal_bits_per_item(fpr: float) -> float:
+    return -math.log(fpr) / (math.log(2) ** 2)
+
+
+def _k_hashes(fpr: float) -> int:
+    return max(1, round(-math.log(fpr) / math.log(2)))
+
+
+def _indices(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Double hashing h1 + i*h2 (Kirsch–Mitzenmacher): k index rows from one
+    64-bit hash, vectorized over the batch."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    h2 = (h ^ np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def shard_of(col, n_shards: int):
+    return F.pmod(col, F.lit(n_shards)).cast("int")
+
+
+def build_shards(
+    hashed: DataFrame, n_shards: int = 64, m_bits: int = 1 << 20, fpr: float = 0.01
+) -> DataFrame:
+    """(url_hash) rows -> one bloom row per shard. One shuffle on shard_id;
+    group work is a vectorized numpy scatter."""
+    k = _k_hashes(fpr)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        hashes = pdf["url_hash"].to_numpy()
+        idx = _indices(hashes, m_bits, k)
+        bits[idx.ravel()] = True
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "filter_bytes": [np.packbits(bits).tobytes()],
+                "n_items": [len(pdf)],
+                "capacity": [int(m_bits / optimal_bits_per_item(fpr))],
+                "fpr": [fpr],
+            }
+        )
+
+    return (
+        hashed.select("url_hash")
+        .withColumn("shard_id", shard_of(F.col("url_hash"), n_shards))
+        .groupBy("shard_id")
+        .applyInPandas(build, SHARD_SCHEMA)
+    )
+
+
+def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-combine two shard sets (cross-round accumulation). Bitmaps of one
+    shard_id must share m_bits (same config across rounds)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        n = 0
+        for row in pdf.itertuples():
+            cur = np.frombuffer(row.filter_bytes, dtype=np.uint8)
+            acc = cur.copy() if acc is None else (acc | cur)
+            n += int(row.n_items)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "filter_bytes": [acc.tobytes()],
+                "n_items": [n],
+                "capacity": [int(pdf["capacity"].iloc[0])],
+                "fpr": [float(pdf["fpr"].iloc[0])],
+            }
+        )
+
+    return a.unionByName(b).groupBy("shard_id").applyInPandas(merge, SHARD_SCHEMA)
+
+
+def mark_maybe_seen(candidates: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
+    """Add ``maybe_seen`` to candidates via broadcast-join + numpy bit test.
+
+    Bloom guarantee: maybe_seen=False ⇒ definitely unseen. The shard table
+    is tiny (n_shards rows) — broadcast, no shuffle of the candidate side.
+    """
+    fpr = 0.01
+    k = _k_hashes(fpr)
+    joined = candidates.withColumn(
+        "shard_id", shard_of(F.col("url_hash"), n_shards)
+    ).join(F.broadcast(shards.select("shard_id", "filter_bytes", "fpr")), "shard_id", "left")
+
+    out_schema = T.StructType(
+        [f for f in joined.schema.fields if f.name not in ("filter_bytes", "fpr")]
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    data_cols = [f.name for f in out_schema.fields if f.name != "maybe_seen"]
+
+    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = np.zeros(len(pdf), dtype=bool)
+            if len(pdf):
+                for fb, grp in pdf.groupby("filter_bytes", dropna=True, sort=False):
+                    bits = np.unpackbits(np.frombuffer(fb, dtype=np.uint8))
+                    idx = _indices(grp["url_hash"].to_numpy(), len(bits), k)
+                    res[grp.index.to_numpy()] = bits[idx].all(axis=0)
+            out = pdf[data_cols].copy()
+            out["maybe_seen"] = res
+            yield out
+
+    return joined.mapInPandas(test, out_schema)
+
+
+def filter_unseen(
+    candidates: DataFrame, shards: DataFrame, seen: DataFrame, n_shards: int
+) -> DataFrame:
+    """Exact unseen set: bloom prefilter prunes the (vast) definitely-unseen
+    majority from the anti join; only maybe-seen rows shuffle against the
+    seen table (SURVEY.md §2.3 URL-seen anti join)."""
+    marked = mark_maybe_seen(candidates, shards, n_shards)
+    fresh = marked.where(~F.col("maybe_seen"))
+    survivors = (
+        marked.where(F.col("maybe_seen"))
+        .join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+    )
+    return fresh.unionByName(survivors).drop("maybe_seen", "shard_id")

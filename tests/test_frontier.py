@@ -1,0 +1,130 @@
+"""Frontier round-loop tests: growth, politeness, dedup, and the
+kill/resume determinism gate (SURVEY.md §5.4, north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import pipeline, synth
+from frontier_engine.frontier import FrontierEngine
+
+
+@pytest.fixture(scope="module")
+def crawl_inputs(spark, pages_pdf):
+    pages = spark.createDataFrame(pages_pdf)
+    seeds = spark.createDataFrame(synth.generate_seeds(pages_pdf, n_seeds=40))
+    robots = spark.createDataFrame(synth.generate_robots(pages_pdf))
+    pages_prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
+    pages_prepared.count()
+    return pages, seeds, robots, pages_prepared
+
+
+def _mk_engine(spark, tmp_path, name):
+    return FrontierEngine(spark, str(tmp_path / name), n_shards=8, bloom_bits=1 << 16, budget=5)
+
+
+def _schedule_list(engine):
+    df = engine.schedule_table()
+    return [
+        (r.round, r.host, r.seq, r.url_norm, r.idx_id)
+        for r in df.orderBy("round", "host", "seq").collect()
+    ]
+
+
+class TestFrontierRounds:
+    @pytest.fixture(scope="class")
+    def run3(self, spark, tmp_path_factory, crawl_inputs):
+        _, seeds, robots, pages_prepared = crawl_inputs
+        eng = _mk_engine(spark, tmp_path_factory.mktemp("fr"), "a")
+        eng.init(seeds, robots)
+        counters = [eng.run_round(pages_prepared) for _ in range(3)]
+        return eng, counters
+
+    def test_counters_consistent(self, run3):
+        _, counters = run3
+        for c in counters:
+            assert c["pending_in"] == (
+                c["dup"] + c["skipped_robots"] + c["scheduled"] + c["skipped_budget"]
+            ), c
+            assert c["scheduled"] == c["fetched"] + c["missing"]
+
+    def test_frontier_grows_and_dedups(self, run3):
+        eng, counters = run3
+        assert counters[0]["scheduled"] > 0
+        assert counters[1]["discovered_new"] >= 0
+        # a URL never appears twice in the whole schedule (seen-set works)
+        sched = eng.schedule_table()
+        assert sched.groupBy("url_norm").count().where("count > 1").count() == 0
+
+    def test_budget_per_host_per_round(self, run3):
+        eng, _ = run3
+        over = (
+            eng.schedule_table()
+            .groupBy("round", "host")
+            .count()
+            .where(F.col("count") > 5)
+        )
+        assert over.count() == 0
+
+    def test_robots_enforced(self, spark, run3, crawl_inputs):
+        eng, _ = run3
+        _, _, robots, _ = crawl_inputs
+        # disallow-all hosts (kind==1 in synth) must never be scheduled
+        blocked_hosts = [
+            r.host for r in robots.collect() if "Disallow: /\n" in r.robots_txt
+        ]
+        assert blocked_hosts
+        n = eng.schedule_table().where(F.col("host").isin(blocked_hosts)).count()
+        assert n == 0
+
+    def test_docs_written(self, spark, run3):
+        eng, counters = run3
+        payload = eng.store.read(spark, "payload_docs")
+        assert payload is not None
+        assert payload.count() == sum(c["docs_ok"] for c in counters)
+        assert payload.select("idx_id").distinct().count() == payload.count()
+
+    def test_lineage_recorded(self, run3):
+        eng, _ = run3
+        snaps = eng.store.snapshots()
+        rounds = [s for s in snaps if s["note"].startswith("round-")]
+        assert all(len(s["lineage"]) > 0 for s in rounds if s["counters"]["scheduled"] > 0)
+        assert all(
+            sum(l["scheduled"] for l in s["lineage"]) == s["counters"]["scheduled"]
+            for s in rounds
+        )
+
+
+class TestResumeDeterminism:
+    def test_resume_identical_schedule(self, spark, tmp_path, crawl_inputs):
+        """north_rule: killed job resumes mid-crawl with identical ordering.
+        3 uninterrupted rounds ≡ 1 round + process restart + 2 rounds."""
+        _, seeds, robots, pages_prepared = crawl_inputs
+
+        eng_a = _mk_engine(spark, tmp_path, "uninterrupted")
+        eng_a.init(seeds, robots)
+        for _ in range(3):
+            eng_a.run_round(pages_prepared)
+
+        eng_b1 = _mk_engine(spark, tmp_path, "resumed")
+        eng_b1.init(seeds, robots)
+        eng_b1.run_round(pages_prepared)
+        del eng_b1  # "kill"
+        eng_b2 = _mk_engine(spark, tmp_path, "resumed")  # fresh instance, same store
+        assert eng_b2.initialized()
+        for _ in range(2):
+            eng_b2.run_round(pages_prepared)
+
+        assert _schedule_list(eng_a) == _schedule_list(eng_b2)
+
+    def test_rerun_byte_identical(self, spark, tmp_path, crawl_inputs):
+        _, seeds, robots, pages_prepared = crawl_inputs
+        lists = []
+        for name in ("r1", "r2"):
+            eng = _mk_engine(spark, tmp_path, name)
+            eng.init(seeds, robots)
+            eng.run_round(pages_prepared)
+            eng.run_round(pages_prepared)
+            lists.append(_schedule_list(eng))
+        assert lists[0] == lists[1]
