@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract): runs the headline workload at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier_urls_per_sec": ..., "pipeline_docs_per_sec": ...}
+
+The frontier micro-benchmark is the north-metric probe (URLs
+scheduled+fetched per second over 2 rounds on a deterministic synthetic
+pages corpus); catalog queries cover the operator classes of SURVEY.md §2.
+Scaling evidence (local[8] vs local[32]) is produced separately by
+BENCH/run_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "scan_filter_project",
+    "agg_pricing_summary",
+    "lookup_join",
+    "seen_anti_join",
+    "dedup_keep_newest",
+    "politeness_budget_cap",
+    "rollup_counters",
+    "url_canonicalize",
+    "dedup_exact",
+    "minhash_signature",
+    "lsh_band_buckets",
+    "simhash16",
+    "quality_score",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "ann_cosine_threshold",
+    "ann_topk_per_label",
+]
+
+FRONTIER_PAGES = int(os.environ.get("BENCH_FRONTIER_PAGES", "2500"))
+FRONTIER_ROUNDS = 2
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from frontier_engine import pipeline, queries as Q, synth
+    from frontier_engine.frontier import FrontierEngine
+    from frontier_engine.session import get_spark
+
+    spark = get_spark(cores=cpus, app="bench", shuffle_partitions=max(cpus, 8))
+
+    timings: dict[str, float] = {}
+    registry = Q.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _run_noop(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # document-processing pipeline throughput (reference `index` analog)
+    import __spark_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    pages = entrymod.pages_from_documents(spark, sf_dir)
+    out = pipeline.run_pipeline(pages)
+    n_docs = out["payload"].count()
+    pipe_sec = time.perf_counter() - t0
+    timings["pipeline_extract"] = round(pipe_sec, 3)
+    out["proc"].unpersist()
+
+    # frontier micro-benchmark (north metric probe)
+    pdf = synth.generate_pages(n_pages=FRONTIER_PAGES, seed=42, n_hosts=100)
+    seeds = synth.generate_seeds(pdf, n_seeds=max(50, FRONTIER_PAGES // 20))
+    robots = synth.generate_robots(pdf)
+    store = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        eng = FrontierEngine(
+            spark, store, n_shards=64, bloom_bits=1 << 20, budget=25
+        )
+        eng.init(spark.createDataFrame(seeds), spark.createDataFrame(robots))
+        prepared = pipeline.dedup_newest(
+            pipeline.canonicalized(spark.createDataFrame(pdf))
+        ).persist()
+        prepared.count()
+        t0 = time.perf_counter()
+        counters = [eng.run_round(prepared) for _ in range(FRONTIER_ROUNDS)]
+        frontier_sec = time.perf_counter() - t0
+        urls = sum(c["scheduled"] + c["fetched"] for c in counters)
+        timings["frontier_rounds"] = round(frontier_sec, 3)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier+catalog wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "frontier_urls_per_sec": round(urls / frontier_sec, 2),
+                "frontier_urls": urls,
+                "pipeline_docs_per_sec": round(n_docs / pipe_sec, 2),
+                "pipeline_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,954 @@
+"""Driver-contract query catalog: SURVEY.md §2 operators + training-data ops,
+each as a (Spark DataFrame callable, DuckDB oracle SQL) pair over the
+driver's testdata tables (TESTDATA.md).
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash at sf0.01):
+- every computed column aliased identically on both sides,
+- doubles rounded (both sides compute mathematically identical doubles;
+  rounding guards the final-ulp),
+- arrays joined to strings, timestamps formatted to strings,
+- portable numeric hash = first 8 hex chars of md5 as bigint
+  (Spark ``conv(substr(md5(x),1,8),16,10)`` ≡ DuckDB
+  ``('0x'||substr(md5(x),1,8))::bigint``).
+
+Queries whose semantics are not SQL-expressible (bloom state, frontier
+round, multimodal plumbing) are registered without an oracle — the driver
+records a rows-only check and the pytest suite carries their correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+# registry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def q(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _hash64(col):
+    """Portable 32-bit-ish numeric hash from md5 (JVM-side, codegen'd)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# =========================================================================
+# §2.1/2.2 — scans, projections, predicate ladder
+# =========================================================================
+
+@q(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint) AS net_cents
+    FROM lineitem
+    WHERE l_shipdate < timestamp '1996-01-01' AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark, sf_dir):
+    """Parquet scan with pushed filters + pruned columns (SURVEY §2.2; the
+    reference parses everything then filters — Catalyst pushes both).
+    Per-row money math floors to integer cents: both engines compute the
+    identical double, and floor of an identical double is engine-portable
+    (per-row round() is not — rounding algorithms differ at boundaries)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long").alias("net_cents"),
+        )
+    )
+
+
+@q(
+    "content_filters",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 200 AND n_chars <= 1048576
+      AND lang IN ('en','de','fr')
+    """,
+)
+def content_filters(spark, sf_dir):
+    """The reference's size-window + whitelist predicate ladder
+    (process.py:166-174) over the documents table."""
+    d = load(spark, sf_dir, "documents")
+    return d.where(
+        (F.col("n_chars") >= 200)
+        & (F.col("n_chars") <= 1024 * 1024)
+        & F.col("lang").isin("en", "de", "fr")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "skip_counters",
+    """
+    SELECT CASE WHEN n_chars < 200 THEN 'too_short'
+                WHEN lang NOT IN ('en','de','fr') THEN 'wrong_lang'
+                ELSE 'ok' END AS reason,
+           count(*) AS n, sum(n_chars) AS chars
+    FROM documents GROUP BY 1
+    """,
+)
+def skip_counters(spark, sf_dir):
+    """Skip-reason counters (Metrics.counter analog, process.py:120) as a
+    single-pass conditional aggregation."""
+    d = load(spark, sf_dir, "documents")
+    reason = (
+        F.when(F.col("n_chars") < 200, "too_short")
+        .when(~F.col("lang").isin("en", "de", "fr"), "wrong_lang")
+        .otherwise("ok")
+    )
+    return (
+        d.groupBy(reason.alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@q(
+    "header_normalize",
+    """
+    SELECT DISTINCT lower(replace('WARC-' || upper(event_type), '-', '_')) AS header_key
+    FROM events
+    """,
+)
+def header_normalize(spark, sf_dir):
+    """WARC header-key normalization (process.py:222): lowercase + '-'→'_'."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.lower(F.replace(F.concat(F.lit("WARC-"), F.upper("event_type")), F.lit("-"), F.lit("_"))).alias("header_key")
+    ).distinct()
+
+
+@q(
+    "mojibake_scrub",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(replace(text, 'a', ''), '\\s{2,}', ' ', 'g')) AS scrubbed
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def mojibake_scrub(spark, sf_dir):
+    """The U+FFFD scrub (process.py:264-268): strip char, collapse multi-space."""
+    d = load(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.replace(F.col("text"), F.lit("a"), F.lit("")), r"\s{2,}", " ")
+        ).alias("scrubbed"),
+    )
+
+
+# =========================================================================
+# §2.3 — joins
+# =========================================================================
+
+@q(
+    "lookup_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 300000
+    """,
+)
+def lookup_join(spark, sf_dir):
+    """The Redis point-lookup merge (process.py:178-180) as broadcast
+    left-outer equi joins — the engine's rank-join shape."""
+    o, c, n = (load(spark, sf_dir, t) for t in ("orders", "customer", "nation"))
+    return (
+        o.where(F.col("o_totalprice") > 300000)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name")
+    )
+
+
+@q(
+    "seen_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def seen_anti_join(spark, sf_dir):
+    """URL-seen subtraction shape (SURVEY §2.3): left_anti join."""
+    c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+)
+def semi_join(spark, sf_dir):
+    s, li = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem")
+    return s.join(
+        li.where(F.col("l_quantity") > 49), s.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# =========================================================================
+# §2.4/2.5 — aggregations & windows
+# =========================================================================
+
+@q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped partial+final hash aggregation (map-side combine)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "dedup_keep_newest",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def dedup_keep_newest(spark, sf_dir):
+    """Keep-newest window dedup — the pages-table dedup (SURVEY §2.4) on events."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@q(
+    "politeness_budget_cap",
+    """
+    SELECT user_id, seq, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS seq
+      FROM events) WHERE seq <= 3
+    """,
+)
+def politeness_budget_cap(spark, sf_dir):
+    """Per-host budget cap as a window top-k (the schedule_window oracle
+    shape, politeness.py) with user_id ≙ host, value ≙ priority."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        e.withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= 3)
+        .select("user_id", "seq", "event_id")
+    )
+
+
+@q(
+    "flush_window_agg",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def flush_window_agg(spark, sf_dir):
+    """The reference's 30 s flush window (index.py:171) generalized to an
+    event-time tumbling-window aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "rollup_counters",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(day, 'ALL') AS day, n
+    FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 count(*) AS n
+          FROM events GROUP BY ROLLUP (event_type, day))
+    """,
+)
+def rollup_counters(spark, sf_dir):
+    """Hierarchical metric rollups (Catalyst ROLLUP — free per SURVEY §2.4)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )
+
+
+# =========================================================================
+# §2.6/2.7 — sorts / top-k / set ops
+# =========================================================================
+
+@q(
+    "global_topk_ordered",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def global_topk_ordered(spark, sf_dir):
+    """Deterministic global order (es_sink.py:155 sorted-output analog):
+    Spark plans this as TakeOrderedAndProject, no full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+@q(
+    "frontier_union",
+    """
+    SELECT DISTINCT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def frontier_union(spark, sf_dir):
+    """Seed ∪ discovered frontier growth (SURVEY §2.7): unionByName+distinct."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "click")
+        .select("user_id")
+        .unionByName(e.where(F.col("event_type") == "error").select("user_id"))
+        .distinct()
+    )
+
+
+@q(
+    "set_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "view")
+        .select("user_id")
+        .subtract(e.where(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+# =========================================================================
+# §2.8 — scalar functions: urls, dates, json, hashing, keywords
+# =========================================================================
+
+@q(
+    "url_canonicalize",
+    """
+    SELECT event_id,
+           'http://www.site' || (user_id % 40) || '.com/path/' || event_type ||
+             '/page' || (event_id % 100) || '.html' AS url_norm
+    FROM events WHERE event_id < 2000
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """north_rule canonicalizer over a constructed non-canonical URL family
+    (uppercase scheme+host, explicit :80, fragment). Spark side runs the real
+    pandas kernel; the oracle states the expected output directly."""
+    from frontier_engine.urlnorm import canonicalize_series
+
+    @F.pandas_udf(T.StringType())
+    def canon(u: pd.Series) -> pd.Series:
+        return canonicalize_series(u)
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    raw = F.concat(
+        F.lit("HTTP://WWW.SITE"),
+        (F.col("user_id") % 40).cast("string"),
+        F.lit(".COM:80/path/"),
+        F.col("event_type"),
+        F.lit("/page"),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit(".html#frag"),
+    )
+    return e.select("event_id", canon(raw).alias("url_norm"))
+
+
+@q(
+    "parse_url_split",
+    """
+    SELECT event_id,
+           'h' || (user_id % 20) || '.example.org' AS host,
+           '/p/' || event_type AS path,
+           'q=' || (event_id % 5) AS query
+    FROM events WHERE event_id < 1000
+    """,
+)
+def parse_url_split(spark, sf_dir):
+    """urlparse host/path/query split (process.py:254,285-287) via the
+    parse_url built-in; oracle states expected parts."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("event_type"),
+        F.lit("?q="),
+        (F.col("event_id") % 5).cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+_DAYS_2021 = "CASE WHEN m = 2 THEN 28 WHEN m IN (4,6,9,11) THEN 30 ELSE 31 END"
+
+
+@q(
+    "clip_warc_date",
+    f"""
+    SELECT event_id,
+           '2021-' || lpad(m::varchar, 2, '0') || '-' ||
+             lpad(least(d, {_DAYS_2021})::varchar, 2, '0') AS clipped
+    FROM (SELECT event_id, 1 + event_id % 12 AS m, 25 + event_id % 7 AS d
+          FROM events WHERE event_id < 1000)
+    """,
+)
+def clip_warc_date_q(spark, sf_dir):
+    """clip_warc_date kernel (process.py:377-389) over synthesized
+    sometimes-invalid dates (day 25..31 across all months of 2021)."""
+    from frontier_engine.identity import clip_warc_date_series
+
+    @F.pandas_udf(T.StringType())
+    def clip(s: pd.Series) -> pd.Series:
+        return clip_warc_date_series(s)
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    raw = F.concat(
+        F.lit("2021-"),
+        F.lpad((1 + F.col("event_id") % 12).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((25 + F.col("event_id") % 7).cast("string"), 2, "0"),
+    )
+    return e.select("event_id", clip(raw).alias("clipped"))
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::bigint AS k
+    FROM events WHERE event_id < 3000
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """JSON decode of side-channel props (rank JSON analog, index.py:232)."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@q(
+    "rank_line_parse",
+    """
+    SELECT split_part(line, ' ', 2) AS doc_id,
+           try_cast(split_part(line, ' ', 1) AS bigint) AS rank_value
+    FROM (SELECT (CASE WHEN event_id % 10 = 0 THEN 'bogus' ELSE (event_id % 97)::varchar END)
+                 || ' doc-' || user_id AS line
+          FROM events WHERE event_id < 2000)
+    WHERE try_cast(split_part(line, ' ', 1) AS bigint) IS NOT NULL
+    """,
+)
+def rank_line_parse(spark, sf_dir):
+    """'<value> <id>' rank-line parsing with silent malformed drops
+    (process.py:493-506) — the ranks.parse_rank_lines shape inline."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    line = F.concat(
+        F.when(F.col("event_id") % 10 == 0, F.lit("bogus")).otherwise(
+            (F.col("event_id") % 97).cast("string")
+        ),
+        F.lit(" doc-"),
+        F.col("user_id").cast("string"),
+    )
+    parts = F.split(line, r"\s+", 2)
+    out = F.get(parts, 1).alias("doc_id"), F.get(parts, 0).try_cast("long").alias("rank_value")
+    return e.select(*out).where(F.col("rank_value").isNotNull())
+
+
+@q(
+    "webis_id_hash",
+    """
+    SELECT doc_id, md5('synth:' || doc_id) AS webis_md5,
+           ('0x' || substr(md5('synth:' || doc_id), 1, 8))::bigint AS id_hash
+    FROM documents
+    """,
+)
+def webis_id_hash(spark, sf_dir):
+    """Corpus-prefixed document identity hashing (webis_uuid shape,
+    process.py:319-329) via portable md5."""
+    d = load(spark, sf_dir, "documents")
+    key = F.concat(F.lit("synth:"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", F.md5(key).alias("webis_md5"), _hash64(key).alias("id_hash"))
+
+
+@q(
+    "salted_host_partition",
+    """
+    SELECT p, count(*) AS n FROM (
+      SELECT (( ('0x' || substr(md5('site' || (user_id % 40)), 1, 8))::bigint * 7
+               + event_id % 7) % 64) AS p
+      FROM events)
+    GROUP BY p
+    """,
+)
+def salted_host_partition(spark, sf_dir):
+    """Salted host-hash partitioning (north_star skew defense): partition id
+    = (hash(host)*SALT + salt_i) mod N; distribution check as counts."""
+    e = load(spark, sf_dir, "events")
+    host = F.concat(F.lit("site"), (F.col("user_id") % 40).cast("string"))
+    p = (_hash64(host) * 7 + F.col("event_id") % 7) % 64
+    return e.groupBy(p.alias("p")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "keyword_dedup_cap",
+    """
+    SELECT doc_id,
+           array_to_string(list_slice(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), '\\s+'))), 1, 30), ',') AS keywords
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def keyword_dedup_cap(spark, sf_dir):
+    """Keyword split→lowercase→dedup→sort→cap-30 (process.py:443-459 with the
+    engine's determinism fix) as pure array ops."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    kws = F.slice(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))), 1, 30
+    )
+    return d.select("doc_id", F.array_join(kws, ",").alias("keywords"))
+
+
+# =========================================================================
+# Training-data ops: dedup / similarity / text analysis (task mandate)
+# =========================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS keeper, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact near-normalized dedup: hash-groupBy on a canonicalized text
+    fingerprint, keep min doc_id (map-side combinable; no pairwise work)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+_TOK_SQL = "SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok FROM documents"
+
+
+@q(
+    "minhash_signature",
+    f"""
+    SELECT doc_id,
+           min(md5(tok || '#0')) AS mh0, min(md5(tok || '#1')) AS mh1,
+           min(md5(tok || '#2')) AS mh2, min(md5(tok || '#3')) AS mh3
+    FROM ({_TOK_SQL}) GROUP BY doc_id
+    """,
+)
+def minhash_signature(spark, sf_dir):
+    """MinHash signatures (4 hash family members) over distinct-token
+    shingles; min-of-md5 is a valid permutation-free minhash family and is
+    engine-portable. Explode + partial-agg min: one shuffle on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}") for i in range(4)]
+    )
+
+
+@q(
+    "lsh_band_buckets",
+    f"""
+    SELECT band, bucket, count(*) AS n_docs FROM (
+      SELECT doc_id, 0 AS band, min(md5(tok || '#0')) || min(md5(tok || '#1')) AS bucket
+      FROM ({_TOK_SQL}) GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, 1 AS band, min(md5(tok || '#2')) || min(md5(tok || '#3')) AS bucket
+      FROM ({_TOK_SQL}) GROUP BY doc_id)
+    GROUP BY band, bucket HAVING count(*) > 1
+    """,
+)
+def lsh_band_buckets(spark, sf_dir):
+    """LSH banding over the minhash signature: candidate buckets = docs
+    agreeing on a whole band (2 hashes/band × 2 bands). Bucket-join replaces
+    O(n²) pair comparison — the scale path for near-dup at 10^10 docs."""
+    sig = minhash_signature(spark, sf_dir)
+    b0 = sig.select("doc_id", F.lit(0).alias("band"), F.concat("mh0", "mh1").alias("bucket"))
+    b1 = sig.select("doc_id", F.lit(1).alias("band"), F.concat("mh2", "mh3").alias("bucket"))
+    return (
+        b0.unionByName(b1)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard for near-dup pairs ≥0.9 via inverted-index
+    self-join (shuffle on token; sizes broadcast back). The LSH query above
+    is the 100TB-scale prefilter for this exact verifier."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= 0.9)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _simhash_exprs_sql() -> str:
+    bits = []
+    for j in range(1, 17):
+        bits.append(
+            f"(CASE WHEN sum(CASE WHEN ascii(substr(md5(tok), {j}, 1)) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 THEN {1 << (j - 1)} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+@q(
+    "simhash16",
+    f"""
+    SELECT doc_id, {_simhash_exprs_sql()} AS simhash
+    FROM ({_TOK_SQL}) GROUP BY doc_id
+    """,
+)
+def simhash16(spark, sf_dir):
+    """16-bit SimHash: per-token md5-derived bit votes summed per doc; near-
+    dups differ in few bits (hamming-ball join at scale). Portable bit source
+    = parity of ascii(md5 hex chars)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
+    )
+    vote = lambda j: F.sum(
+        F.when(F.ascii(F.substring(F.md5("tok"), j, 1)) % 2 == 1, 1).otherwise(-1)
+    )
+    sim = None
+    aggs = []
+    for j in range(1, 17):
+        aggs.append(F.when(vote(j) >= 0, F.lit(1 << (j - 1))).otherwise(F.lit(0)))
+    expr = aggs[0]
+    for a in aggs[1:]:
+        expr = expr + a
+    return toks.groupBy("doc_id").agg(expr.alias("simhash"))
+
+
+@q(
+    "lang_stopword_score",
+    """
+    SELECT doc_id, lang,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               ['the','and','of','to','in','is'])) AS en_hits,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               ['der','die','das','und','ist','nicht'])) AS de_hits
+    FROM documents
+    """,
+)
+def lang_stopword_score(spark, sf_dir):
+    """SQL-expressible language-ID scoring (stopword hits per language);
+    the full n-gram kernel (extract.detect_lang) is pytest-covered."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    en = F.array(*[F.lit(x) for x in ("the", "and", "of", "to", "in", "is")])
+    de = F.array(*[F.lit(x) for x in ("der", "die", "das", "und", "ist", "nicht")])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_intersect(toks, en)).alias("en_hits"),
+        F.size(F.array_intersect(toks, de)).alias("de_hits"),
+    )
+
+
+@q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           cast(floor(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 10000.0
+                 / length(text)) AS bigint) AS punct_bp,
+           cast(floor(length(text) * 100.0 / len(string_split_regex(trim(text), '\\s+')))
+                AS bigint) AS chars_per_token_c
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Document quality heuristics (length / punctuation / token stats) —
+    the training-pipeline quality gate, all JVM-side expressions. Ratios as
+    floor-scaled integers (engine-portable; see scan_filter_project)."""
+    d = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.floor(punct * 10000.0 / F.length("text")).cast("long").alias("punct_bp"),
+        F.floor(F.length("text") * 100.0 / n_tokens).cast("long").alias("chars_per_token_c"),
+    )
+
+
+@q(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting via a word/number/symbol regex (portable
+    across Java regex and RE2)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           ('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 12))::bigint
+             AS fp48
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Canonical document fingerprint (ws-collapse + lowercase + hash) with a
+    48-bit numeric form for range-partitioned storage."""
+    d = load(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long").alias("fp48"),
+    )
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+_COS_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM embeddings e, q
+WHERE e.vec_id != 0
+"""
+
+
+def _cosine_to_query(spark, sf_dir):
+    from frontier_engine.simsearch import cosine_to_query
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_to_query(emb.where(F.col("vec_id") != 0), qv)
+
+
+@q("ann_cosine_threshold", _COS_SQL + " AND round(list_dot_product(e.embedding::DOUBLE[], q.qv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 4) >= 0.2")
+def ann_cosine_threshold(spark, sf_dir):
+    """Brute-force cosine similarity against a query vector (JVM-side
+    zip_with/aggregate — no Python), thresholded."""
+    return _cosine_to_query(spark, sf_dir).where(F.col("cos") >= 0.2)
+
+
+@q(
+    "ann_topk_per_label",
+    f"""
+    SELECT label, vec_id FROM (
+      SELECT t.label, t.vec_id,
+             row_number() OVER (PARTITION BY t.label ORDER BY t.cos DESC, t.vec_id ASC) AS rn
+      FROM ({_COS_SQL.replace('SELECT e.vec_id,', 'SELECT e.vec_id, e.label,')}) t) s
+    WHERE rn <= 3
+    """,
+)
+def ann_topk_per_label(spark, sf_dir):
+    """IVF-style coarse search: top-3 per label partition by cosine (label ≙
+    coarse centroid id; at scale the centroid assignment is a bucket join)."""
+    from frontier_engine.simsearch import cosine_to_query
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = cosine_to_query(emb.where(F.col("vec_id") != 0), qv, keep_cols=["label"])
+    w = Window.partitionBy("label").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("label", "vec_id")
+    )
+
+
+@q(
+    "embedding_norms",
+    """
+    SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    from frontier_engine.simsearch import l2_norm_col
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm_col(F.col("embedding")), 4).alias("l2"))
+
+
+# =========================================================================
+# Rows-only queries (no SQL oracle — pytest carries correctness)
+# =========================================================================
+
+@q("frontier_round_demo", None)
+def frontier_round_demo(spark, sf_dir):
+    """One full frontier round on deterministic synthetic pages (the
+    non-SQL-expressible flagship: bloom state + PQ scheduling + snapshot)."""
+    import tempfile
+
+    from frontier_engine import pipeline as pl, synth
+    from frontier_engine.frontier import FrontierEngine
+
+    pdf = synth.generate_pages(n_pages=150, seed=42, n_hosts=25)
+    pages = spark.createDataFrame(pdf)
+    seeds = spark.createDataFrame(synth.generate_seeds(pdf, n_seeds=30))
+    robots = spark.createDataFrame(synth.generate_robots(pdf))
+    eng = FrontierEngine(
+        spark, tempfile.mkdtemp(prefix="fr_demo_"), n_shards=8, bloom_bits=1 << 16, budget=5
+    )
+    eng.init(seeds, robots)
+    eng.run_round(pl.dedup_newest(pl.canonicalized(pages)).persist())
+    return eng.schedule_table().orderBy("round", "host", "seq")
+
+
+@q("bloom_membership_demo", None)
+def bloom_membership_demo(spark, sf_dir):
+    """Bloom shard build + membership marking (binary state — not SQL)."""
+    from frontier_engine import urlseen
+
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://d.com/"), F.col("doc_id").cast("string")).alias("url_norm")
+    ).withColumn("url_hash", F.xxhash64("url_norm"))
+    shards = urlseen.build_shards(d, n_shards=8, m_bits=1 << 16)
+    return urlseen.mark_maybe_seen(d, shards, 8).select("url_norm", "maybe_seen")
+
+
+# =========================================================================
+# public accessors
+# =========================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
