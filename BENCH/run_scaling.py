@@ -1,0 +1,136 @@
+"""Scaling-evidence harness (BASELINE.md protocol): the same frontier job,
+same input, at local[8] (N) and local[32] (4N) via spark-submit
+--py-files; efficiency = thr32 / (4 * thr8). Writes BENCH/BASELINE.md.
+
+Usage: python BENCH/run_scaling.py [--pages 40000] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_pages_parquet(n_pages: int, out_dir: str, paras: int = 50) -> str:
+    """Generate the deterministic corpus once (shared by every run) with the
+    distributed Spark-side generator — pure column exprs, no driver data."""
+    from frontier_engine import synth
+    from frontier_engine.session import get_spark
+
+    spark = get_spark(cores=32, app="gen_pages", driver_memory="24g")
+    path = os.path.join(out_dir, "pages")
+    synth.generate_pages_spark(spark, n_pages, n_hosts=300, paras=paras).write.parquet(path)
+    spark.stop()
+    return path
+
+
+def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -> dict:
+    store = tempfile.mkdtemp(prefix=f"scale_store_{cores}_")
+    zip_dir = tempfile.mkdtemp(prefix="pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(zip_dir, "frontier_engine"), "zip", root_dir=REPO, base_dir="frontier_engine"
+    )
+    spark_submit = shutil.which("spark-submit")
+    job = os.path.join(REPO, "frontier_engine", "jobs", "frontier_job.py")
+    job_args = [
+        job,
+        "--pages", pages_path,
+        "--store", store,
+        "--rounds", str(rounds),
+        "--seeds", str(seeds),
+        "--budget", str(budget),
+        "--cores", str(cores),
+    ]
+    if spark_submit:
+        cmd = [
+            spark_submit,
+            "--master", f"local[{cores}]",
+            "--driver-memory", "24g",
+            "--conf", f"spark.sql.shuffle.partitions={cores}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+        ] + job_args
+    else:  # fallback: plain python (session built in-job)
+        cmd = [sys.executable] + job_args
+    env = dict(os.environ, PYTHONPATH=REPO)
+    t0 = time.time()
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    wall = time.time() - t0
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(zip_dir, ignore_errors=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"job produced no JSON (cores={cores})")
+    res = json.loads(line[-1])
+    res["wall_incl_startup"] = round(wall, 1)
+    res["via_spark_submit"] = bool(spark_submit)
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=200000)
+    ap.add_argument("--seeds", type=int, default=25000)
+    ap.add_argument("--budget", type=int, default=500)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    args = ap.parse_args()
+
+    data_dir = tempfile.mkdtemp(prefix="scale_pages_")
+    print(f"generating {args.pages} pages ...", flush=True)
+    pages_path = build_pages_parquet(args.pages, data_dir)
+
+    results: dict[int, list[dict]] = {}
+    for cores in args.levels:
+        results[cores] = []
+        for i in range(args.runs):
+            r = run_job(cores, pages_path, args.seeds, args.budget, args.rounds)
+            print(f"local[{cores}] run {i}: {r['urls']} urls in {r['sec']}s "
+                  f"→ {r['urls_per_sec']}/s", flush=True)
+            results[cores].append(r)
+    shutil.rmtree(data_dir, ignore_errors=True)
+
+    lo, hi = args.levels
+    thr_lo = statistics.median(r["urls_per_sec"] for r in results[lo])
+    thr_hi = statistics.median(r["urls_per_sec"] for r in results[hi])
+    eff = thr_hi / (thr_lo * (hi / lo))
+    md = f"""# BENCH/BASELINE.md — scaling evidence (BASELINE.md protocol)
+
+Same frontier job ({args.rounds} rounds), same deterministic input
+({args.pages} pages, {args.seeds} seeds, budget {args.budget}/host),
+run at two parallelism levels on one 32-core host
+({'spark-submit --py-files' if results[lo][0]['via_spark_submit'] else 'python (spark-submit unavailable)'}).
+Sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
+
+| level | runs (urls/sec) | median urls/sec |
+|---|---|---|
+| local[{lo}] (N) | {', '.join(str(r['urls_per_sec']) for r in results[lo])} | {thr_lo} |
+| local[{hi}] (4N) | {', '.join(str(r['urls_per_sec']) for r in results[hi])} | {thr_hi} |
+
+**Scaling efficiency** = thr{hi} / ({hi // lo} · thr{lo}) = **{eff:.3f}**
+(target ≥ 0.8 per BASELINE.json).
+
+Raw: {json.dumps({str(k): v for k, v in results.items()})}
+"""
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

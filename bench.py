@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "ann_topk_per_label",
 ]
 
-FRONTIER_PAGES = int(os.environ.get("BENCH_FRONTIER_PAGES", "2500"))
+FRONTIER_PAGES = int(os.environ.get("BENCH_FRONTIER_PAGES", "30000"))
 FRONTIER_ROUNDS = 2
 
 
@@ -80,20 +80,28 @@ def main() -> None:
     timings["pipeline_extract"] = round(pipe_sec, 3)
     out["proc"].unpersist()
 
-    # frontier micro-benchmark (north metric probe)
-    pdf = synth.generate_pages(n_pages=FRONTIER_PAGES, seed=42, n_hosts=100)
-    seeds = synth.generate_seeds(pdf, n_seeds=max(50, FRONTIER_PAGES // 20))
-    robots = synth.generate_robots(pdf)
+    # frontier micro-benchmark (north metric probe; distributed generator)
+    from pyspark.sql import functions as F
+
+    pages_f = synth.generate_pages_spark(spark, FRONTIER_PAGES, n_hosts=150, paras=40)
     store = tempfile.mkdtemp(prefix="bench_frontier_")
     try:
         eng = FrontierEngine(
-            spark, store, n_shards=64, bloom_bits=1 << 20, budget=25
+            spark, store, n_shards=64, bloom_bits=1 << 20, budget=200
         )
-        eng.init(spark.createDataFrame(seeds), spark.createDataFrame(robots))
-        prepared = pipeline.dedup_newest(
-            pipeline.canonicalized(spark.createDataFrame(pdf))
-        ).persist()
+        prepared = pipeline.dedup_newest(pipeline.canonicalized(pages_f)).persist()
         prepared.count()
+        seeds = (
+            prepared.select("url")
+            .withColumn("h", F.xxhash64("url"))
+            .orderBy("h")
+            .limit(max(200, FRONTIER_PAGES // 8))
+            .select("url", (F.pmod(F.col("h"), F.lit(100)) / 100.0).alias("priority"))
+        )
+        robots = prepared.select("host").distinct().select(
+            "host", F.lit("User-agent: *\nDisallow: /private/\n").alias("robots_txt")
+        )
+        eng.init(seeds, robots)
         t0 = time.perf_counter()
         counters = [eng.run_round(prepared) for _ in range(FRONTIER_ROUNDS)]
         frontier_sec = time.perf_counter() - t0

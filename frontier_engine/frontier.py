@@ -124,6 +124,7 @@ class FrontierEngine:
         frontier = candidates_from_urls(seeds, round_no=0, id_prefix=self.id_prefix)
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         empty_shards = self.spark.createDataFrame([], urlseen.SHARD_SCHEMA)
+        n = frontier.count()
         return self.store.commit(
             tables={
                 "frontier": frontier,
@@ -131,7 +132,7 @@ class FrontierEngine:
                 "urlseen_shards": empty_shards,
                 "robots": robots,
             },
-            counters={"round": -1, "seeded": frontier.count()},
+            counters={"round": -1, "seeded": n, "pending_out": n, "seen_total": 0},
             note="init",
         )
 
@@ -145,7 +146,11 @@ class FrontierEngine:
         (``pipeline.canonicalized`` + ``pipeline.dedup_newest`` applied).
         Returns the committed counters."""
         spark = self.spark
-        round_no = self.store.snapshot(self.store.current_snapshot_id())["counters"].get("round", -1) + 1
+        prev_counters = self.store.snapshot(self.store.current_snapshot_id())["counters"]
+        round_no = prev_counters.get("round", -1) + 1
+        # carried from the parent snapshot — no count() job needed
+        n_pending_in = prev_counters["pending_out"]
+        seen_total = prev_counters.get("seen_total", 0)
 
         frontier = self._read("frontier")
         seen = self._read("seen")
@@ -167,8 +172,6 @@ class FrontierEngine:
         # 3. per-host PQ schedule
         sched_all = politeness.schedule_hosts(allowed, budget=self.budget, round_seconds=round_seconds).persist()
         scheduled = sched_all.where(F.col("scheduled"))
-        n_allowed = allowed.count()
-        n_scheduled = scheduled.count()
 
         # 4. fetch: equi join on url_norm against keep-newest pages
         fetch_cols = ["url_norm", "url_hash", "host", "priority", "idx_id", "seq"]
@@ -179,8 +182,13 @@ class FrontierEngine:
             fetched_rows.select("url_norm"), "url_norm", "left_anti"
         )
 
-        # 5. process fetched pages (extraction pipeline; idx_id from page identity)
-        proc = pipeline.processed(fetched_rows, id_prefix=self.id_prefix).persist()
+        # 5. process fetched pages (extraction pipeline; idx_id from page
+        # identity). Salted host-hash repartition before the heavy UDF —
+        # AQE coalesces by bytes and would otherwise serialize the kernel.
+        n_part = spark.sparkContext.defaultParallelism * 2
+        proc = pipeline.processed(
+            fetched_rows, id_prefix=self.id_prefix, repartition_to=n_part
+        ).persist()
         meta = pipeline.meta_docs(proc).sortWithinPartitions("idx_id")
         payload = pipeline.payload_docs(proc).sortWithinPartitions("idx_id")
         n_docs_ok = proc.where(F.col("doc.skip_reason") == "").count()
@@ -242,13 +250,17 @@ class FrontierEngine:
             .unionByName(blocked_state)
             .unionByName(leftover)
             .unionByName(new_pending)
-        )
-        new_seen = seen.unionByName(scheduled.select("url_hash", "url_norm")).distinct()
+        ).persist()
+        # seen is APPEND-ONLY: per-round scheduled sets are disjoint by
+        # construction (this round's candidates were seen-filtered), so no
+        # distinct/rewrite of the accumulated set is ever needed — O(round)
+        # IO instead of O(crawl) per round (Iceberg append semantics).
+        seen_delta = scheduled.select("url_hash", "url_norm")
         round_shards = urlseen.build_shards(
             scheduled.select("url_hash"), self.n_shards, self.bloom_bits
         )
         new_shards = (
-            urlseen.merge_shards(shards, round_shards) if shards.take(1) else round_shards
+            urlseen.merge_shards(shards, round_shards) if seen_total > 0 else round_shards
         )
 
         schedule_out = scheduled.select(
@@ -256,18 +268,33 @@ class FrontierEngine:
             "host", "seq", "url_norm", "idx_id", "priority",
         )
 
+        # counters + lineage in TWO aggregate jobs over persisted frames
+        # (the Metrics.counter analog, process.py:120 — not N count() jobs)
+        status_counts = {
+            (r["status"], r["round"]): r["n"]
+            for r in new_frontier.groupBy("status", "round")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_fetched = status_counts.get(("fetched", round_no), 0)
+        n_missing = status_counts.get(("missing", round_no), 0)
+        n_dup = status_counts.get(("dup", round_no), 0)
+        n_blocked = status_counts.get(("skipped_robots", round_no), 0)
+        n_scheduled = n_fetched + n_missing
         counters = {
             "round": round_no,
-            "pending_in": pending.count(),
-            "dup": dup.count(),
-            "skipped_robots": blocked.count(),
-            "skipped_budget": n_allowed - n_scheduled,
+            "pending_in": n_pending_in,
+            "dup": n_dup,
+            "skipped_robots": n_blocked,
+            "skipped_budget": n_pending_in - n_dup - n_blocked - n_scheduled,
             "scheduled": n_scheduled,
-            "fetched": fetched_rows.count(),
-            "missing": missing.count(),
+            "fetched": n_fetched,
+            "missing": n_missing,
             "docs_ok": n_docs_ok,
-            "discovered_new": new_pending.count(),
+            "discovered_new": status_counts.get(("pending", round_no + 1), 0),
         }
+        counters["pending_out"] = counters["skipped_budget"] + counters["discovered_new"]
+        counters["seen_total"] = seen_total + n_scheduled
         # per-partition lineage: rows touched per urlseen shard this round
         lineage = [
             {"shard_id": r["shard_id"], "scheduled": r["n"]}
@@ -278,16 +305,20 @@ class FrontierEngine:
         self.store.commit(
             tables={
                 "frontier": new_frontier,
-                "seen": new_seen,
                 "urlseen_shards": new_shards,
             },
-            append_tables={"schedule": schedule_out, "meta_docs": meta, "payload_docs": payload},
+            append_tables={
+                "seen": seen_delta,
+                "schedule": schedule_out,
+                "meta_docs": meta,
+                "payload_docs": payload,
+            },
             carry_tables=["robots"],
             counters=counters,
             lineage=lineage,
             note=f"round-{round_no}",
         )
-        for df in (unseen, sched_all, fetched_rows, proc):
+        for df in (unseen, sched_all, fetched_rows, proc, new_frontier):
             df.unpersist()
         return counters
 

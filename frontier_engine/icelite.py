@@ -129,3 +129,11 @@ class IceLite:
             json.dump({"current": snap_id}, f)
         os.rename(cur + ".tmp", cur)  # commit point
         return snap_id
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE/upsert emulation (the es_sink ``update_action`` analog,
+    es_sink.py:200-217): rows in ``updates`` replace same-key rows in
+    ``existing``; commit the result as a replace-table snapshot. One anti
+    join + union — the standard Spark CDC shape without Delta."""
+    return existing.join(updates.select(key).distinct(), key, "left_anti").unionByName(updates)

@@ -95,6 +95,17 @@ PAYLOAD_COLUMNS = [
 
 # ---------------------------------------------------------------- stages
 
+def salted_repartition(df: DataFrame, n: int, salt: int = 8) -> DataFrame:
+    """Salted host-hash repartition before a compute-heavy UDF stage
+    (north_star skew defense; the reference's Reshuffle fusion-break analog,
+    warcio.py:69). Hot hosts spread over ``salt`` partitions; explicit
+    because AQE coalesces by *bytes* and cannot see that the extraction UDF
+    is ~10³× heavier per byte than a relational op."""
+    host_bucket = F.pmod(F.xxhash64(F.col("host")), F.lit(1 << 20))  # bounded: no ANSI overflow
+    key = host_bucket * salt + F.pmod(F.coalesce(F.col("url_hash"), F.lit(0)), F.lit(salt))
+    return df.repartition(n, key)
+
+
 def canonicalized(df: DataFrame) -> DataFrame:
     """Add url_norm / host / url_hash.
 
@@ -183,11 +194,19 @@ def make_process_udf(id_prefix: str, max_payload_size: int = oracle.MAX_DOCUMENT
     return _process
 
 
-def processed(df: DataFrame, id_prefix: str = "synth", **kw) -> DataFrame:
-    """pages (canonicalized, deduped) → one row per doc with `doc` struct."""
+def processed(df: DataFrame, id_prefix: str = "synth", repartition_to: int | None = None, **kw) -> DataFrame:
+    """pages (canonicalized, deduped) → one row per doc with `doc` struct.
+
+    ``repartition_to``: salted-repartition width for the extraction stage
+    (pass ~2× cores; None = keep upstream partitioning).
+    """
+    if repartition_to:
+        df = salted_repartition(df, repartition_to)
     udf = make_process_udf(id_prefix, **kw)
+    # cast: parquet written by pyarrow is TIMESTAMP_NTZ; session TZ is UTC,
+    # so the cast to (LTZ) timestamp is exact
     return df.withColumn(
-        "doc", udf(F.col("url"), F.unix_millis(F.col("warc_ts")), F.col("html"))
+        "doc", udf(F.col("url"), F.unix_millis(F.col("warc_ts").cast("timestamp")), F.col("html"))
     )
 
 
@@ -230,7 +249,8 @@ def skip_counters(proc: DataFrame) -> DataFrame:
 def run_pipeline(pages: DataFrame, id_prefix: str = "synth", always_index_meta: bool = False) -> dict:
     """Full flagship pipeline. Returns dict of DataFrames; `proc` is cached
     because meta and payload branch from it (beam fan-out analog)."""
-    proc = processed(dedup_newest(canonicalized(pages)), id_prefix=id_prefix)
+    n_part = pages.sparkSession.sparkContext.defaultParallelism * 2
+    proc = processed(dedup_newest(canonicalized(pages)), id_prefix=id_prefix, repartition_to=n_part)
     proc = proc.persist()
     return {
         "proc": proc,

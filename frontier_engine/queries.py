@@ -906,6 +906,165 @@ def embedding_norms(spark, sf_dir):
 
 
 # =========================================================================
+# Search-side analyzers + scoring (ES config parity, SURVEY §2.10)
+# =========================================================================
+
+@q(
+    "host_analyzer",
+    """
+    SELECT event_id,
+           array_to_string(list_sort(list_filter(
+             string_split_regex(
+               regexp_replace(lower('WWW2.Sub-' || (user_id % 30) || '.Example.co.uk'),
+                              '^www\\d*\\.', ''),
+               '[^a-z0-9]+'),
+             x -> len(x) > 0 AND NOT list_contains(
+               ['ac','ad','ae','at','au','be','br','ca','ch','cn','co','com','cz','de','dk',
+                'edu','es','eu','fi','fr','gov','gr','hk','hu','ie','il','in','info','io','it',
+                'jp','kr','mx','net','nl','no','nz','org','pl','pt','ro','ru','se','sg','tr',
+                'tw','ua','uk','us'], x))), ',') AS host_toks
+    FROM events WHERE event_id < 500
+    """,
+)
+def host_analyzer(spark, sf_dir):
+    """ES host analyzer (strip www\\d*. → word-split → cc-TLD stopwords →
+    unique; data_index.py:646-661,385-645) — sorted for comparability."""
+    from frontier_engine.analyzers import host_tokens
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    host = F.concat(
+        F.lit("WWW2.Sub-"), (F.col("user_id") % 30).cast("string"), F.lit(".Example.co.uk")
+    )
+    return e.select(
+        "event_id", F.array_join(F.array_sort(host_tokens(host)), ",").alias("host_toks")
+    )
+
+
+@q(
+    "path_hierarchy_tokens",
+    """
+    SELECT event_id,
+           array_to_string(
+             list_transform(range(1, len(parts) + 1),
+                            i -> '/' || array_to_string(list_slice(parts, 1, i), '/')),
+             ' ') AS path_toks
+    FROM (SELECT event_id,
+                 list_filter(string_split('/cat' || (user_id % 9) || '/' || event_type ||
+                                          '/item' || (event_id % 50), '/'),
+                             x -> len(x) > 0) AS parts
+          FROM events WHERE event_id < 500)
+    """,
+)
+def path_hierarchy_tokens_q(spark, sf_dir):
+    """ES path_hierarchy tokenizer (data_index.py:915-918): '/a/b/c' →
+    ['/a','/a/b','/a/b/c']."""
+    from frontier_engine.analyzers import path_hierarchy_tokens
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    path = F.concat(
+        F.lit("/cat"), (F.col("user_id") % 9).cast("string"),
+        F.lit("/"), F.col("event_type"),
+        F.lit("/item"), (F.col("event_id") % 50).cast("string"),
+    )
+    return e.select("event_id", F.array_join(path_hierarchy_tokens(path), " ").alias("path_toks"))
+
+
+@q(
+    "query_string_analyzer",
+    """
+    SELECT event_id,
+           array_to_string(list_filter(string_split_regex(
+             lower('Q=' || event_type || '&Page=' || (event_id % 7) || '&empty='), '[&=]'),
+             x -> len(x) > 0), ',') AS qs_toks
+    FROM events WHERE event_id < 500
+    """,
+)
+def query_string_analyzer(spark, sf_dir):
+    """ES query-string analyzer: pattern split on [&=] (data_index.py:955-958)."""
+    from frontier_engine.analyzers import query_string_tokens
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    qs = F.concat(
+        F.lit("Q="), F.col("event_type"), F.lit("&Page="),
+        (F.col("event_id") % 7).cast("string"), F.lit("&empty="),
+    )
+    return e.select("event_id", F.array_join(query_string_tokens(qs), ",").alias("qs_toks"))
+
+
+_BM25_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> len(x) > 0)) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'window', 'query') GROUP BY doc_id, term),
+    idf AS (SELECT term, ln(1 + ((SELECT n FROM stats) - count(DISTINCT doc_id) + 0.5)
+                             / (count(DISTINCT doc_id) + 0.5)) AS idf
+            FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           cast(floor(sum(idf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) * 10000)
+             AS bigint) AS bm25_e4
+    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id
+"""
+
+
+@q("bm25_scoring", _BM25_SQL)
+def bm25_scoring(spark, sf_dir):
+    """BM25 ranking (the data index's similarity, conf/data_index.py) from
+    first principles: tf/df aggregations + broadcast idf join, no UDFs."""
+    from frontier_engine.analyzers import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    scores = bm25_scores(d, ["spark", "window", "query"])
+    return scores.select("doc_id", F.floor(F.col("bm25") * 10000).cast("long").alias("bm25_e4"))
+
+
+@q(
+    "sessionize",
+    """
+    SELECT event_id, user_id, session_id FROM (
+      SELECT event_id, user_id,
+             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT event_id, user_id, ts,
+                   epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events))
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization (lag + cumulative gap counter) — batch twin of the
+    streaming session_window operator (streaming.py)."""
+    from frontier_engine.streaming import sessionize_batch
+
+    e = load(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_minutes=30).select("event_id", "user_id", "session_id")
+
+
+@q(
+    "merge_upsert",
+    """
+    SELECT doc_id, lang FROM documents WHERE doc_id % 3 != 0
+    UNION ALL
+    SELECT doc_id, 'xx' AS lang FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def merge_upsert_q(spark, sf_dir):
+    """MERGE/upsert emulation (update_action analog, es_sink.py:200-217):
+    updates replace same-key rows via anti-join + union."""
+    from frontier_engine.icelite import merge_upsert
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    updates = d.where(F.col("doc_id") % 3 == 0).withColumn("lang", F.lit("xx"))
+    return merge_upsert(d, updates, "doc_id")
+
+
+# =========================================================================
 # Rows-only queries (no SQL oracle — pytest carries correctness)
 # =========================================================================
 

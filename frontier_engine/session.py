@@ -22,6 +22,11 @@ def _ship_package(spark: SparkSession) -> None:
     cannot unpickle the pandas-UDF closures."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    if root.endswith(".zip"):
+        # already running from a --py-files zip (spark-submit): workers get
+        # the same zip from the submit machinery; just re-register it.
+        spark.sparkContext.addPyFile(root)
+        return
     tmp = tempfile.mkdtemp(prefix="fe_pyfiles_")
     zip_path = shutil.make_archive(
         os.path.join(tmp, "frontier_engine"), "zip", root_dir=root, base_dir="frontier_engine"

@@ -64,8 +64,15 @@ def _page_html(rng: random.Random, title: str, n_paras: int, links: list[str], k
     )
 
 
-def generate_pages(n_pages: int = 2000, seed: int = 42, n_hosts: int = 100) -> pd.DataFrame:
-    """Deterministic pages table with Zipf host skew + §1.1 edge rows."""
+def generate_pages(
+    n_pages: int = 2000, seed: int = 42, n_hosts: int = 100, compute_text: bool = True
+) -> pd.DataFrame:
+    """Deterministic pages table with Zipf host skew + §1.1 edge rows.
+
+    ``compute_text=False`` skips the oracle text/lang fill (the generator's
+    dominant cost) for bench-scale corpora where only the frontier runs —
+    the byte-identity tests always generate with ``True``.
+    """
     rng = random.Random(seed)
     hosts = [_mk_host(rng, i) for i in range(n_hosts)]
     zipf_w = [1.0 / (i + 1) for i in range(n_hosts)]
@@ -136,6 +143,13 @@ def generate_pages(n_pages: int = 2000, seed: int = 42, n_hosts: int = 100) -> p
     rows.append({"url": f"https://{e_host}/edge/pre-epoch", "warc_ts": datetime(1969, 12, 31, 23, 0, tzinfo=timezone.utc), "html": ("<html><head><title>old</title></head><body><main><p>" + body_filler + "</p></main></body></html>").encode()})
     rows.append({"url": f"https://{e_host}/edge/far-future", "warc_ts": datetime(2200, 1, 1, tzinfo=timezone.utc), "html": ("<html><head><title>future</title></head><body><main><p>" + body_filler + "</p></main></body></html>").encode()})
 
+    if not compute_text:
+        df = pd.DataFrame(rows)
+        df["text"] = None
+        df["lang"] = None
+        df["warc_ts"] = df["warc_ts"].dt.tz_convert("UTC").dt.tz_localize(None)
+        return df[["url", "warc_ts", "html", "text", "lang"]]
+
     # fill expected text/lang via the oracle kernels (FIXTURES.md §1)
     texts, langs = [], []
     for r in rows:
@@ -164,6 +178,89 @@ def generate_pages(n_pages: int = 2000, seed: int = 42, n_hosts: int = 100) -> p
     df["lang"] = langs
     df["warc_ts"] = df["warc_ts"].dt.tz_convert("UTC").dt.tz_localize(None)
     return df[["url", "warc_ts", "html", "text", "lang"]]
+
+
+def generate_pages_spark(
+    spark,
+    n_pages: int,
+    n_hosts: int = 200,
+    paras: int = 40,
+    n_links: int = 4,
+    seed: int = 42,
+):
+    """Distributed deterministic pages generator (bench scale): pure column
+    expressions over ``spark.range`` — no Python, no driver-side data.
+
+    Host assignment is quadratically skewed (hot-host head, Zipf-ish) to
+    exercise the salted repartition; link targets are arithmetic (always
+    resolvable) so frontier rounds keep discovering real pages; HTML size
+    scales with ``paras`` (≈120 B each) to model real-crawl parse cost.
+    """
+    from pyspark.sql import functions as F
+
+    para_pool = F.array(*[F.lit(p) for p in _PARAS])
+
+    def host_of_id(idc):
+        u = F.pmod(F.xxhash64(idc + seed), F.lit(1_000_000)) / 1_000_000.0
+        return F.concat(
+            F.lit("site"),
+            F.floor(u * u * n_hosts).cast("int").cast("string"),
+            F.lit(".example.com"),
+        )
+
+    def url_of_id(idc):
+        return F.concat(
+            F.lit("https://"), host_of_id(idc), F.lit("/p/"), idc.cast("string"), F.lit(".html")
+        )
+
+    df = spark.range(n_pages).repartition(spark.sparkContext.defaultParallelism)
+    idc = F.col("id")
+    para_idx = F.sequence(F.lit(0), F.lit(paras - 1))
+    body = F.array_join(
+        F.transform(
+            para_idx,
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.element_at(para_pool, (F.pmod(idc + i, F.lit(len(_PARAS))) + 1).cast("int")),
+                F.lit(" Token"),
+                F.pmod(idc * 31 + i * 7, F.lit(997)).cast("string"),
+                F.lit(".</p>"),
+            ),
+        ),
+        "\n",
+    )
+    links = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_links)),
+            lambda k: F.concat(
+                F.lit('<a href="'),
+                url_of_id(F.pmod(idc * 131 + k * 2654435761, F.lit(n_pages))),
+                F.lit('">l</a>'),
+            ),
+        ),
+        " ",
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<!doctype html><html><head><title>Page "),
+            idc.cast("string"),
+            F.lit('</title><meta name="description" content="Synthetic page"></head><body><nav>'),
+            links,
+            F.lit("</nav><h1>Page "),
+            idc.cast("string"),
+            F.lit("</h1><main>"),
+            body,
+            F.lit("</main><footer>generated</footer></body></html>"),
+        ),
+        "utf-8",
+    )
+    return df.select(
+        url_of_id(idc).alias("url"),
+        (F.to_timestamp(F.lit("2021-03-01 00:00:00")) + F.make_interval(secs=F.pmod(idc * 37, F.lit(500000)))).alias("warc_ts"),
+        html.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
 
 
 def generate_seeds(pages: pd.DataFrame, n_seeds: int = 50, seed: int = 42) -> pd.DataFrame:

@@ -1,0 +1,248 @@
+"""Tests for WARC source parity, streaming surface, analyzers, multimodal
+plumbing, and similarity search."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import analyzers, multimodal, simsearch, streaming, warc_source
+from frontier_engine.icelite import IceLite, merge_upsert
+
+
+# ---------------------------------------------------------------- warc
+
+class TestWarcSource:
+    @pytest.fixture(scope="class")
+    def warc_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("warcs")
+        recs = [
+            {
+                "record_type": "response",
+                "record_id": f"<urn:uuid:{i}>",
+                "target_uri": f"http://w{i % 3}.com/p{i}",
+                "warc_date": "2021-03-01T00:00:00Z",
+                "http_content_type": "text/html",
+                "payload": f"<html><body><p>doc {i} body content</p></body></html>".encode(),
+            }
+            for i in range(10)
+        ] + [
+            {"record_type": "request", "target_uri": "http://w0.com/req",
+             "payload": b"GET / HTTP/1.1"},
+            {"record_type": "warcinfo", "target_uri": "http://w0.com/info",
+             "payload": b"software: test"},
+        ]
+        raw = warc_source.write_warc_bytes(recs)
+        (d / "a.warc").write_bytes(raw)
+        import gzip
+
+        (d / "b.warc.gz").write_bytes(gzip.compress(raw))
+        return str(d)
+
+    def test_parse_roundtrip(self):
+        recs = [{"record_type": "response", "target_uri": "http://x/", "warc_date": "2021-01-01T00:00:00Z",
+                 "http_content_type": "text/html", "payload": b"<html>hi</html>"}]
+        raw = warc_source.write_warc_bytes(recs)
+        out = list(warc_source.parse_warc_stream(raw, "f"))
+        assert len(out) == 1
+        assert out[0]["payload"] == b"<html>hi</html>"
+        assert out[0]["http_content_type"] == "text/html"
+        assert out[0]["target_uri"] == "http://x/"
+
+    def test_read_warcs_filters_record_type(self, spark, warc_dir):
+        df = warc_source.read_warcs(spark, warc_dir + "/*")
+        rows = df.collect()
+        # 10 responses per file × 2 files; request/warcinfo filtered (index.py:142)
+        assert len(rows) == 20
+        assert all(r.record_type == "response" for r in rows)
+
+    def test_gzip_matches_plain(self, spark, warc_dir):
+        df = warc_source.read_warcs(spark, warc_dir + "/*")
+        by_file = df.groupBy("source_file").count().collect()
+        assert len(by_file) == 2
+        assert by_file[0]["count"] == by_file[1]["count"]
+
+    def test_overlong_payload_strip(self, spark, tmp_path):
+        recs = [{"record_type": "response", "target_uri": "http://big/", "warc_date": "2021-01-01T00:00:00Z",
+                 "http_content_type": "text/html", "payload": b"x" * 500}]
+        (tmp_path / "c.warc").write_bytes(warc_source.write_warc_bytes(recs))
+        df = warc_source.read_warcs(spark, str(tmp_path / "c.warc"), max_payload=100)
+        r = df.collect()[0]
+        assert len(r.payload) == 100 and r.payload_truncated  # warcio.py:150-154
+
+    def test_to_pages_schema(self, spark, warc_dir):
+        pages = warc_source.warc_records_to_pages(warc_source.read_warcs(spark, warc_dir + "/*"))
+        assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+        assert pages.count() == 20
+
+
+# ------------------------------------------------------------- streaming
+
+class TestStreaming:
+    def test_flush_window_and_icelite_sink(self, spark, tmp_path, pages_pdf):
+        src = str(tmp_path / "in")
+        pdf = pages_pdf.head(100)
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = streaming.stream_pages(spark, src)
+        agg = streaming.flush_window_counts(stream, window="1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("flushed")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # append mode emits only watermark-closed windows; re-check via batch twin
+        batch = streaming.flush_window_counts(spark.read.parquet(src), window="1 hour")
+        assert batch.agg(F.sum("n")).collect()[0][0] == 100
+
+    def test_stream_to_icelite_exactly_once(self, spark, tmp_path, pages_pdf):
+        src = str(tmp_path / "in2")
+        spark.createDataFrame(pages_pdf.head(60)).write.parquet(src)
+        store_root = str(tmp_path / "store")
+        q = streaming.stream_to_icelite(
+            streaming.stream_pages(spark, src).select("url", "lang"),
+            store_root,
+            "ingest",
+            str(tmp_path / "ck2"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        store = IceLite(store_root)
+        total = store.read(spark, "ingest").count()
+        assert total == 60
+        # every snapshot carries its batch_id (exactly-once replay guard)
+        assert all("batch_id" in s["counters"] for s in store.snapshots())
+
+    def test_sessionize_batch(self, spark, sf_dir="/root/testdata/sf0.001"):
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = streaming.sessionize_batch(events, gap_minutes=30)
+        # session ids start at 1 and are monotone per user
+        bad = out.groupBy("user_id").agg(F.min("session_id").alias("m")).where("m != 1")
+        assert bad.count() == 0
+
+    def test_sessionize_stream_runs(self, spark, tmp_path):
+        src = str(tmp_path / "ev")
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            ).parquet(src)
+        )
+        q = (
+            streaming.sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess")
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()  # smoke: native session_window operator executes
+
+
+# ------------------------------------------------------------- analyzers
+
+class TestAnalyzers:
+    def test_host_tokens(self, spark):
+        df = spark.createDataFrame([("WWW2.Foo-Bar.co.uk",)], "h string")
+        toks = df.select(analyzers.host_tokens(F.col("h")).alias("t")).collect()[0].t
+        assert sorted(toks) == ["bar", "foo"]  # www stripped, cc-TLDs dropped
+
+    def test_path_hierarchy(self, spark):
+        df = spark.createDataFrame([("/a/b/c",), ("/",)], "p string")
+        rows = df.select(analyzers.path_hierarchy_tokens(F.col("p")).alias("t")).collect()
+        assert rows[0].t == ["/a", "/a/b", "/a/b/c"]
+        assert rows[1].t == []
+
+    def test_bm25_ranks_matching_docs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spark spark window"), (2, "spark"), (3, "nothing here"), (4, "window query spark")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.bm25 for r in analyzers.bm25_scores(docs, ["spark", "window"]).collect()}
+        assert 3 not in out  # no matching terms → no row
+        assert out[1] > out[2]  # higher tf wins
+        assert out[4] > out[2]  # more matched terms wins
+
+    def test_lm_dirichlet_runs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spark window data"), (2, "other words only")], "doc_id long, text string"
+        )
+        out = analyzers.lm_dirichlet_scores(docs, ["spark"]).collect()
+        assert len(out) == 1 and math.isfinite(out[0].lm_score)
+
+
+# ------------------------------------------------------------ multimodal
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        feats = multimodal.extract_features(media, feat_dim=8)
+        rows = feats.collect()
+        assert len(rows) == 30
+        assert all(len(r.feature) == 8 for r in rows)
+        img = [r for r in rows if r.kind == "image"]
+        assert all(r.width is not None and r.height is not None for r in img)
+        # deterministic: same payload → same sha1/features
+        again = {r.media_id: r.sha1 for r in multimodal.extract_features(media).collect()}
+        assert all(again[r.media_id] == r.sha1 for r in rows)
+
+    def test_real_decoder_gated(self, spark):
+        media = multimodal.synth_media(spark, n=3)
+        if multimodal.REAL_DECODERS_AVAILABLE:
+            pytest.skip("decoder present")
+        with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+            multimodal.extract_features(media, use_real=True).collect()
+
+    def test_frame_sampling(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        frames = multimodal.frame_sample(media, every_n=5)
+        rows = frames.collect()
+        assert rows and all(r.frame_idx % 5 == 0 for r in rows)
+        vids = {r.media_id for r in media.where("kind = 'video'").collect()}
+        assert {r.media_id for r in rows} <= vids
+
+
+# --------------------------------------------------------------- simsearch
+
+class TestSimsearch:
+    def test_cosine_matches_numpy(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.where("vec_id = 0").select(F.col("embedding").alias("qv"))
+        out = {r.vec_id: r.cos for r in simsearch.cosine_to_query(emb.where("vec_id != 0"), qv).collect()}
+        rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+        q = rows[0]
+        for vid in list(out)[:20]:
+            v = rows[vid]
+            want = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            assert abs(out[vid] - want) < 5e-4
+
+    def test_lsh_buckets_deterministic_and_complete(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        b1 = {r.vec_id: r.bucket for r in simsearch.lsh_sign_buckets_df(emb).collect()}
+        b2 = {r.vec_id: r.bucket for r in simsearch.lsh_sign_buckets_df(emb).collect()}
+        assert b1 == b2 and len(b1) == emb.count()
+        assert all(0 <= b < 256 for b in b1.values())
+
+    def test_ann_lsh_candidates_contains_query_bucket(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = emb.where("vec_id = 7").select(F.col("embedding").alias("qv"))
+        cands = simsearch.ann_lsh_candidates(emb, qv)
+        ids = {r.vec_id for r in cands.collect()}
+        assert 7 in ids  # the query's own vector shares its bucket
+
+
+# ----------------------------------------------------------------- upsert
+
+def test_merge_upsert(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(existing, updates, "k").collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
