@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the plans Catalyst must produce for the
+engine's operators (SURVEY.md §4). These guard the 100TB properties —
+pushdown, pruning, broadcast, partial aggregation — that row counts can't."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_filter_pushdown_and_column_pruning(self, spark):
+        df = Q.REGISTRY["scan_filter_project"][0](spark, SF)
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull" in plan and "LessThan(l_shipdate" in plan
+        # pruned scan: unused columns absent from the FileScan column list
+        scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+        assert "l_shipdate" in scan_cols
+        assert "l_tax" not in scan_cols and "l_returnflag" not in scan_cols
+
+    def test_lookup_join_is_broadcast(self, spark):
+        df = Q.REGISTRY["lookup_join"][0](spark, SF)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_agg_has_partial_and_final(self, spark):
+        df = Q.REGISTRY["agg_pricing_summary"][0](spark, SF)
+        plan = plan_of(df)
+        # map-side combine: partial_sum before the exchange
+        assert "partial_sum" in plan
+
+    def test_global_topk_is_take_ordered(self, spark):
+        df = Q.REGISTRY["global_topk_ordered"][0](spark, SF)
+        assert "TakeOrderedAndProject" in plan_of(df)  # no full global sort
+
+    def test_anti_join_shape(self, spark):
+        df = Q.REGISTRY["seen_anti_join"][0](spark, SF)
+        assert "LeftAnti" in plan_of(df)
+
+    def test_whole_stage_codegen_covers_relational_ops(self, spark):
+        df = Q.REGISTRY["quality_score"][0](spark, SF)
+        plan = plan_of(df)
+        assert "*(1)" in plan  # the `*(n)` prefix marks WholeStageCodegen spans
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+    def test_extraction_has_single_arrow_stage(self, spark, pages_df):
+        from frontier_engine import pipeline
+
+        proc = pipeline.processed(pipeline.canonicalized(pages_df))
+        plan = plan_of(proc)
+        # pandas UDFs run as ArrowEvalPython; row-Python (BatchEvalPython) banned
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pages_scan_prunes_html_for_frontier_queries(self, spark, tmp_path, pages_pdf):
+        """A frontier-only query over the pages table must not read the
+        (dominant) html column — the pushdown win the reference architecture
+        cannot express (SURVEY.md §4)."""
+        path = str(tmp_path / "pages")
+        spark.createDataFrame(pages_pdf).write.parquet(path)
+        df = spark.read.parquet(path).select("url", "warc_ts").where(F.col("lang") == "en")
+        plan = plan_of(df)
+        read_schema = plan.split("ReadSchema:")[1]
+        assert "html" not in read_schema
+
+    def test_ranks_join_broadcast(self, spark, tmp_path):
+        from frontier_engine import ranks
+
+        (tmp_path / "s.txt").write_text("1 a\n2 b")
+        t = ranks.load_rank_table(spark, str(tmp_path / "s.txt"))
+        payload = spark.createDataFrame([("a", "x")], "warc_target_uri string, title string")
+        assert "BroadcastHashJoin" in plan_of(ranks.join_ranks(payload, t))
+
+    def test_bloom_membership_broadcast(self, spark):
+        from frontier_engine import urlseen
+
+        d = spark.createDataFrame([("u",)], "url_norm string").withColumn(
+            "url_hash", F.xxhash64("url_norm")
+        )
+        shards = urlseen.build_shards(d, 8, 1 << 14)
+        plan = plan_of(urlseen.mark_maybe_seen(d, shards, 8))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
