@@ -54,45 +54,60 @@ SEEN_SCHEMA = "url_hash long, url_norm string"
 PRIORITY_DECAY = 0.5
 
 
-def _candidate_idx_id_udf(id_prefix: str):
-    """idx_id for a frontier candidate: the reference identity kernels over
-    (round-as-time, url-derived source) — deterministic across resumes."""
-
-    @F.pandas_udf(T.StringType())
-    def mk(url_norm: pd.Series, round_no: pd.Series) -> pd.Series:
-        out = []
-        for u, r in zip(url_norm, round_no):
-            src, off = derive_source(u)
-            out.append(index_uuid(int(r) * 1000, off, src, webis_uuid(id_prefix, u)))
-        return pd.Series(out, dtype="object")
-
-    return mk
-
-
 def candidates_from_urls(df: DataFrame, round_no: int, id_prefix: str,
-                         priority_col: str = "priority") -> DataFrame:
-    """urls (+priority) → frontier rows (canonicalized, hashed, identified)."""
+                         priority_col: str = "priority",
+                         resolve_base_col: str | None = None) -> DataFrame:
+    """urls (+priority) → frontier rows (canonicalized, hashed, identified).
 
-    @F.pandas_udf(T.StringType())
-    def _canon(urls: pd.Series) -> pd.Series:
-        return canonicalize_series(urls)
+    Two Arrow stages total: (resolve+)canonicalize before the dedup shuffle,
+    then one combined (host, idx_id) kernel after it — chaining separate
+    scalar UDFs would cost a python round-trip each.
 
-    @F.pandas_udf(T.StringType())
-    def _host(urls_norm: pd.Series) -> pd.Series:
-        return host_series(urls_norm)
+    ``resolve_base_col``: if set, ``url`` holds raw hrefs resolved against
+    this base-URL column first (link discovery path).
+    """
 
-    mk_id = _candidate_idx_id_udf(id_prefix)
+    if resolve_base_col:
+
+        @F.pandas_udf(T.StringType())
+        def _canon(base: pd.Series, href: pd.Series) -> pd.Series:
+            from urllib.parse import urljoin
+
+            resolved = pd.Series(
+                [urljoin(b, h) if (b is not None and h is not None) else None for b, h in zip(base, href)],
+                index=href.index, dtype="object",
+            )
+            return canonicalize_series(resolved)
+
+        canon_col = _canon(F.col(resolve_base_col), F.col("url"))
+    else:
+
+        @F.pandas_udf(T.StringType())
+        def _canon(urls: pd.Series) -> pd.Series:
+            return canonicalize_series(urls)
+
+        canon_col = _canon(F.col("url"))
+
+    @F.pandas_udf("host string, idx_id string")
+    def _host_id(urls_norm: pd.Series) -> pd.DataFrame:
+        ids = []
+        for u in urls_norm:
+            src, off = derive_source(u)
+            ids.append(index_uuid(round_no * 1000, off, src, webis_uuid(id_prefix, u)))
+        return pd.DataFrame({"host": host_series(urls_norm), "idx_id": ids})
+
     out = (
-        df.withColumn("url_norm", _canon(F.col("url")))
+        df.withColumn("url_norm", canon_col)
         .withColumn("priority", F.coalesce(F.col(priority_col).cast("double"), F.lit(0.5)))
         # duplicate spellings of one page collapse here; keep max priority
         .groupBy("url_norm")
         .agg(F.max("priority").alias("priority"))
         .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
-        .withColumn("host", _host(F.col("url_norm")))
+        .withColumn("_hi", _host_id(F.col("url_norm")))
+        .withColumn("host", F.col("_hi.host"))
+        .withColumn("idx_id", F.col("_hi.idx_id"))
         .withColumn("status", F.lit("pending"))
         .withColumn("round", F.lit(round_no).cast("int"))
-        .withColumn("idx_id", mk_id(F.col("url_norm"), F.col("round")))
     )
     return out.select([f.name for f in FRONTIER_SCHEMA.fields])
 
@@ -182,6 +197,19 @@ class FrontierEngine:
             fetched_rows.select("url_norm"), "url_norm", "left_anti"
         )
 
+        import os
+        import time as _time
+
+        timing_on = os.environ.get("FRONTIER_TIMING")
+        phases: dict[str, float] = {}
+
+        def _mark(name: str, t0: float) -> float:
+            t = _time.perf_counter()
+            phases[name] = round(t - t0, 2)
+            return t
+
+        _t = _time.perf_counter()
+
         # 5. process fetched pages (extraction pipeline; idx_id from page
         # identity). Salted host-hash repartition before the heavy UDF —
         # AQE coalesces by bytes and would otherwise serialize the kernel.
@@ -192,33 +220,23 @@ class FrontierEngine:
         meta = pipeline.meta_docs(proc).sortWithinPartitions("idx_id")
         payload = pipeline.payload_docs(proc).sortWithinPartitions("idx_id")
         n_docs_ok = proc.where(F.col("doc.skip_reason") == "").count()
+        _t = _mark("seen_robots_schedule_fetch_extract", _t)
 
-        # 6. discover links → next round's pending candidates
+        # 6. discover links → next round's pending candidates (resolve +
+        # canonicalize fused into one Arrow stage)
         links = (
             proc.select(
-                F.col("priority").alias("parent_priority"),
+                (F.col("priority") * PRIORITY_DECAY).alias("priority"),
                 F.col("url").alias("base_url"),
-                F.explode_outer(F.col("doc.links")).alias("href"),
+                F.explode_outer(F.col("doc.links")).alias("url"),
             )
-            .where(F.col("href").isNotNull())
+            .where(F.col("url").isNotNull())
         )
-
-        @F.pandas_udf(T.StringType())
-        def resolve(base: pd.Series, href: pd.Series) -> pd.Series:
-            from urllib.parse import urljoin
-
-            return pd.Series(
-                [urljoin(b, h) if h is not None else None for b, h in zip(base, href)],
-                dtype="object",
-            )
-
         discovered = candidates_from_urls(
-            links.select(
-                resolve(F.col("base_url"), F.col("href")).alias("url"),
-                (F.col("parent_priority") * PRIORITY_DECAY).alias("priority"),
-            ),
+            links,
             round_no=round_no + 1,
             id_prefix=self.id_prefix,
+            resolve_base_col="base_url",
         )
 
         # 7. new state
@@ -230,19 +248,19 @@ class FrontierEngine:
         missing_state = mark(missing, "missing")
         dup_state = mark(dup, "dup")
         blocked_state = mark(blocked, "skipped_robots")
-        # not scheduled this round → stays pending (budget carry-over)
-        leftover = (
-            pending
-            .join(scheduled.select("url_hash"), "url_hash", "left_anti")
-            .join(dup.select("url_hash"), "url_hash", "left_anti")
-            .join(blocked.select("url_hash"), "url_hash", "left_anti")
-            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        # not scheduled this round → stays pending (budget carry-over);
+        # one anti join against the union of settled keys, not three
+        settled_keys = (
+            scheduled.select("url_hash")
+            .unionByName(dup.select("url_hash"))
+            .unionByName(blocked.select("url_hash"))
         )
-        new_pending = discovered.join(
-            frontier.select("url_hash").union(fetched_state.select("url_hash")).distinct(),
-            "url_hash",
-            "left_anti",
+        leftover = pending.join(settled_keys, "url_hash", "left_anti").select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
         )
+        # anti vs frontier only: fetched/dup/blocked rows were pending and are
+        # therefore already in the frontier — no extra union/distinct needed
+        new_pending = discovered.join(frontier.select("url_hash"), "url_hash", "left_anti")
         new_frontier = (
             settled.unionByName(fetched_state)
             .unionByName(missing_state)
@@ -276,6 +294,7 @@ class FrontierEngine:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        _t = _mark("discover_links_new_frontier", _t)
         n_fetched = status_counts.get(("fetched", round_no), 0)
         n_missing = status_counts.get(("missing", round_no), 0)
         n_dup = status_counts.get(("dup", round_no), 0)
@@ -302,6 +321,7 @@ class FrontierEngine:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         ]
+        _t = _mark("lineage", _t)
         self.store.commit(
             tables={
                 "frontier": new_frontier,
@@ -318,6 +338,9 @@ class FrontierEngine:
             lineage=lineage,
             note=f"round-{round_no}",
         )
+        _mark("commit_writes", _t)
+        if timing_on:
+            print(f"[frontier-timing] round {round_no}: {phases}", flush=True)
         for df in (unseen, sched_all, fetched_rows, proc, new_frontier):
             df.unpersist()
         return counters

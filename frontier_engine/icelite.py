@@ -131,6 +131,46 @@ class IceLite:
         return snap_id
 
 
+def ensure_table(store: "IceLite", spark: SparkSession, name: str, ddl: str) -> None:
+    """CREATE TABLE IF NOT EXISTS analog of the reference's ensure_index
+    (es_sink.py:220-229, index.py:54-80): commit an empty typed table into
+    the current snapshot lineage if absent."""
+    sid = store.current_snapshot_id()
+    if sid is not None and name in store.snapshot(sid)["tables"]:
+        return
+    carry = list(store.snapshot(sid)["tables"].keys()) if sid is not None else []
+    store.commit(
+        tables={name: spark.createDataFrame([], ddl)},
+        carry_tables=carry,
+        counters=dict(store.snapshot(sid)["counters"]) if sid is not None else {},
+        note=f"ensure-{name}",
+    )
+
+
+def expire_snapshots(store: "IceLite", keep_last: int = 5) -> list[int]:
+    """Iceberg-style maintenance (the clear_redis analog, index.py:245-282):
+    delete data files only reachable from snapshots older than the last
+    ``keep_last``. Metadata JSONs are kept (cheap, preserves history ids);
+    returns the expired snapshot ids."""
+    import shutil
+
+    snaps = store.snapshots()
+    if len(snaps) <= keep_last:
+        return []
+    live_paths: set[str] = set()
+    for s in snaps[-keep_last:]:
+        for p in s["tables"].values():
+            live_paths.update(p if isinstance(p, list) else [p])
+    expired = []
+    for s in snaps[:-keep_last]:
+        for p in s["tables"].values():
+            for path in p if isinstance(p, list) else [p]:
+                if path not in live_paths and os.path.exists(path):
+                    shutil.rmtree(path, ignore_errors=True)
+        expired.append(s["id"])
+    return expired
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE/upsert emulation (the es_sink ``update_action`` analog,
     es_sink.py:200-217): rows in ``updates`` replace same-key rows in

@@ -106,25 +106,35 @@ def salted_repartition(df: DataFrame, n: int, salt: int = 8) -> DataFrame:
     return df.repartition(n, key)
 
 
+def partition_by_doc_id(df: DataFrame, n: int, id_col: str = "idx_id") -> DataFrame:
+    """Range-partition output docs by document id — the reference's
+    ``uuid_prefix_partitioner`` (index.py:50-51: partition = uuid_int·n/16³²)
+    as ``repartitionByRange``; b64-encoded UUIDs sort like their bytes, so
+    ranges of idx_id ≈ ranges of (time, offset). Combined with
+    ``sortWithinPartitions`` this reproduces the sink's sorted insertion
+    order (es_sink.py:155) with globally ordered files."""
+    return df.repartitionByRange(n, F.col(id_col)).sortWithinPartitions(id_col)
+
+
 def canonicalized(df: DataFrame) -> DataFrame:
     """Add url_norm / host / url_hash.
 
-    Canonicalization is a pandas kernel (north_rule mandate); the hash is
-    Spark's JVM-side xxhash64 so bloom builders receive the hash as data and
-    never need a Python hash implementation.
+    Canonicalization is a pandas kernel (north_rule mandate) returning a
+    struct so url_norm+host cost ONE Arrow stage (chained scalar UDFs each
+    add a python round-trip); the hash is Spark's JVM-side xxhash64 so bloom
+    builders receive the hash as data and never need a Python hash.
     """
 
-    @F.pandas_udf(T.StringType())
-    def _canon(urls: pd.Series) -> pd.Series:
-        return canonicalize_series(urls)
-
-    @F.pandas_udf(T.StringType())
-    def _host(urls_norm: pd.Series) -> pd.Series:
-        return host_series(urls_norm)
+    @F.pandas_udf("url_norm string, host string")
+    def _canon_host(urls: pd.Series) -> pd.DataFrame:
+        norm = canonicalize_series(urls)
+        return pd.DataFrame({"url_norm": norm, "host": host_series(norm)})
 
     return (
-        df.withColumn("url_norm", _canon(F.col("url")))
-        .withColumn("host", _host(F.col("url_norm")))
+        df.withColumn("_ch", _canon_host(F.col("url")))
+        .withColumn("url_norm", F.col("_ch.url_norm"))
+        .withColumn("host", F.col("_ch.host"))
+        .drop("_ch")
         .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
     )
 

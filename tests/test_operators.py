@@ -221,3 +221,43 @@ class TestIceLite:
             f.write("{}")
         assert store.current_snapshot_id() == 0
         assert store.read(spark, "t").count() == 3
+
+
+class TestMaintenanceAndPartitioning:
+    def test_ensure_table(self, spark, tmp_path):
+        from frontier_engine.icelite import ensure_table
+
+        store = IceLite(str(tmp_path / "t"))
+        ensure_table(store, spark, "docs", "idx_id string, title string")
+        assert store.read(spark, "docs").count() == 0
+        store.commit(tables={"docs": spark.createDataFrame([("a", "t")], "idx_id string, title string")},)
+        ensure_table(store, spark, "docs", "idx_id string, title string")  # no-op
+        assert store.read(spark, "docs").count() == 1
+
+    def test_expire_snapshots(self, spark, tmp_path):
+        import os
+
+        from frontier_engine.icelite import expire_snapshots
+
+        store = IceLite(str(tmp_path / "t"))
+        paths = []
+        for i in range(6):
+            store.commit(tables={"v": spark.range(i + 1)})
+            paths.append(store.snapshot(store.current_snapshot_id())["tables"]["v"])
+        expired = expire_snapshots(store, keep_last=2)
+        assert expired == [0, 1, 2, 3]
+        assert not os.path.exists(paths[0]) and os.path.exists(paths[5])
+        assert store.read(spark, "v").count() == 6  # current snapshot intact
+
+    def test_partition_by_doc_id_globally_sorted(self, spark):
+        from frontier_engine.pipeline import partition_by_doc_id
+
+        df = spark.createDataFrame([(f"id{i:04d}",) for i in range(100, 0, -1)], "idx_id string")
+        out = partition_by_doc_id(df, 4)
+        assert out.rdd.getNumPartitions() == 4
+        # range partitioning + within-partition sort = globally sorted files
+        per_part = out.rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, [r.idx_id for r in it])]
+        ).collect()
+        flat = [x for _, part in sorted(per_part) for x in part]
+        assert flat == sorted(flat)
