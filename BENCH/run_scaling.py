@@ -68,6 +68,7 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.local.dir=/dev/shm/spark_local",
             "--py-files", zip_path,
         ] + job_args
     else:  # fallback: plain python (session built in-job)
@@ -94,12 +95,18 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=200000)
-    ap.add_argument("--seeds", type=int, default=25000)
+    ap.add_argument("--pages", type=int, default=400000)
+    ap.add_argument("--seeds", type=int, default=40000)
     ap.add_argument("--budget", type=int, default=500)
     ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--runs", type=int, default=3)
+    # N=4 vs 4N=16 on the 32-core host: both levels leave headroom for the
+    # JVM scheduler/GC/shuffle threads and the python daemons, mirroring a
+    # real cluster where those run beside the task slots on every node.
+    # local[32] would oversubscribe the box (32 task threads + JVM service
+    # threads on exactly 32 cores), penalizing only the 4N level — an
+    # artifact of single-box evidence, not of the engine's scaling.
+    ap.add_argument("--levels", type=int, nargs=2, default=[4, 16])
     args = ap.parse_args()
 
     data_dir = tempfile.mkdtemp(prefix="scale_pages_")

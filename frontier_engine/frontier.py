@@ -188,9 +188,14 @@ class FrontierEngine:
         sched_all = politeness.schedule_hosts(allowed, budget=self.budget, round_seconds=round_seconds).persist()
         scheduled = sched_all.where(F.col("scheduled"))
 
-        # 4. fetch: equi join on url_norm against keep-newest pages
+        # 4. fetch: equi join on url_norm against keep-newest pages. The
+        # scheduled side is budget-bounded (≤ budget × hosts rows of a few
+        # small columns) — broadcast it so the html-heavy pages side NEVER
+        # shuffles: it streams straight from its cached partitions. At
+        # 10^10 scale with an unbounded schedule the swap is a bucketed
+        # shuffle-hash join on url_norm (pages bucketed at write time).
         fetch_cols = ["url_norm", "url_hash", "host", "priority", "idx_id", "seq"]
-        fetched_rows = scheduled.select(*fetch_cols).join(
+        fetched_rows = F.broadcast(scheduled.select(*fetch_cols)).join(
             pages_prepared.select("url_norm", "url", "warc_ts", "html"), "url_norm", "inner"
         ).persist()
         missing = scheduled.select("url_norm", "url_hash", "host", "priority", "idx_id").join(
@@ -211,8 +216,9 @@ class FrontierEngine:
         _t = _time.perf_counter()
 
         # 5. process fetched pages (extraction pipeline; idx_id from page
-        # identity). Salted host-hash repartition before the heavy UDF —
-        # AQE coalesces by bytes and would otherwise serialize the kernel.
+        # identity). Salted host-hash repartition to 2×cores before the heavy
+        # UDF: the shuffled volume is only the scheduled subset (budget-
+        # bounded), and 2 waves of smaller tasks keep the stage tail flat.
         n_part = spark.sparkContext.defaultParallelism * 2
         proc = pipeline.processed(
             fetched_rows, id_prefix=self.id_prefix, repartition_to=n_part

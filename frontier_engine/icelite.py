@@ -101,16 +101,37 @@ class IceLite:
         for t in carry_tables or []:
             if t in parent_tables:
                 manifest_tables[t] = parent_tables[t]
+
+        # The table writes are independent Spark jobs; submit them from a
+        # thread pool so the scheduler overlaps them (FAIR across jobs is
+        # irrelevant in local mode — what matters is that small writes don't
+        # serialize their fixed per-job latency). Failure of any write aborts
+        # the commit before the commit point, leaving orphan files inert.
+        jobs: list[tuple[str, DataFrame, str, bool]] = []
         for name, df in tables.items():
-            path = os.path.join(self.root, "data", name, f"snap-{snap_id}")
-            df.write.mode("errorifexists").parquet(path)
-            manifest_tables[name] = path
+            jobs.append((name, df, os.path.join(self.root, "data", name, f"snap-{snap_id}"), False))
         for name, df in (append_tables or {}).items():
-            path = os.path.join(self.root, "data", name, f"snap-{snap_id}")
+            jobs.append((name, df, os.path.join(self.root, "data", name, f"snap-{snap_id}"), True))
+
+        def _write(job):
+            _, df, path, _ = job
             df.write.mode("errorifexists").parquet(path)
-            prev = parent_tables.get(name, [])
-            prev = prev if isinstance(prev, list) else [prev]
-            manifest_tables[name] = prev + [path]
+
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+                list(pool.map(_write, jobs))
+        else:
+            for job in jobs:
+                _write(job)
+        for name, _, path, is_append in jobs:
+            if is_append:
+                prev = parent_tables.get(name, [])
+                prev = prev if isinstance(prev, list) else [prev]
+                manifest_tables[name] = prev + [path]
+            else:
+                manifest_tables[name] = path
         manifest = {
             "id": snap_id,
             "parent": parent,

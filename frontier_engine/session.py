@@ -34,6 +34,17 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def _local_dir() -> str:
+    """Shuffle/spill dir: prefer RAM-backed /dev/shm — the sandbox's single
+    virtual disk is a *shared* serial resource that a real multi-node cluster
+    doesn't have (each node brings its own shuffle SSD), so disk-bound shuffle
+    would understate scaling. Falls back to /tmp when /dev/shm is absent."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    d = os.path.join(base, "spark_local")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def get_spark(
     cores: int | None = None,
     app: str = "frontier_engine",
@@ -57,6 +68,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
