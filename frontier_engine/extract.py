@@ -34,6 +34,7 @@ Known reference quirks replicated on purpose (SURVEY.md §7.4.2):
 from __future__ import annotations
 
 import re
+from collections import Counter
 from html import unescape
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
@@ -486,16 +487,20 @@ def detect_lang(text: str) -> Tuple[str, float]:
     sample = text[:4000]
     n = len(sample)
     cjk = kana = hangul = cyr = 0
-    for ch in sample:
-        o = ord(ch)
-        if 0x3040 <= o <= 0x30FF:
-            kana += 1
-        elif 0x4E00 <= o <= 0x9FFF:
-            cjk += 1
-        elif 0xAC00 <= o <= 0xD7AF:
-            hangul += 1
-        elif 0x0400 <= o <= 0x04FF:
-            cyr += 1
+    # fast path: if no codepoint reaches U+0400 the counting loop can't hit
+    # any range — max() is a C scan, the common Latin-script case skips the
+    # per-char Python loop entirely (identical counts: all zero)
+    if max(sample) >= "Ѐ":
+        for ch in sample:
+            o = ord(ch)
+            if 0x3040 <= o <= 0x30FF:
+                kana += 1
+            elif 0x4E00 <= o <= 0x9FFF:
+                cjk += 1
+            elif 0xAC00 <= o <= 0xD7AF:
+                hangul += 1
+            elif 0x0400 <= o <= 0x04FF:
+                cyr += 1
     if kana / n > 0.05:
         return "ja", min(1.0, (kana + cjk) / n * 2)
     if hangul / n > 0.05:
@@ -507,9 +512,13 @@ def detect_lang(text: str) -> Tuple[str, float]:
     tokens = re.findall(r"[^\W\d_]+", sample.lower(), re.UNICODE)
     if not tokens:
         return "unknown", 0.0
+    # vote over unique-token counts (identical totals, ~#unique not #tokens
+    # membership probes per language)
+    tok_counts = Counter(tokens)
     best_lang, best_hits = "unknown", 0
     for lang in sorted(_LANG_STOPWORDS):
-        hits = sum(1 for t in tokens if t in _LANG_STOPWORDS[lang])
+        sw = _LANG_STOPWORDS[lang]
+        hits = sum(c for t, c in tok_counts.items() if t in sw)
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     score = best_hits / len(tokens)

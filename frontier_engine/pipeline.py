@@ -156,11 +156,27 @@ def make_process_udf(id_prefix: str, max_payload_size: int = oracle.MAX_DOCUMENT
     """One Arrow-batched kernel call per row-batch: the full reference
     lifecycle (decode → predicates → extract → project), process.py:131-306."""
 
+    _META_KEYS = (
+        "uuid", "source_file", "source_offset", "warc_date", "content_type",
+        "content_length", "http_content_length", "http_content_type",
+        "content_encoding",
+    )
+    _PAYLOAD_KEYS = (
+        "title", "meta_keywords", "meta_desc", "body", "full_body", "headings",
+        "lang", "body_length", "warc_target_hostname", "warc_target_path",
+        "warc_target_query_string",
+    )
+
     @F.pandas_udf(DOC_SCHEMA)
     def _process(urls: pd.Series, ts_ms: pd.Series, htmls: pd.Series) -> pd.DataFrame:
-        out = []
-        for url, t, html in zip(urls, ts_ms, htmls):
-            ts = pd.Timestamp(int(t), unit="ms", tz="UTC").to_pydatetime()
+        # vectorized ts conversion once per Arrow batch (per-row pd.Timestamp
+        # construction costs more than the date math itself)
+        ts_objs = pd.to_datetime(ts_ms, unit="ms", utc=True).dt.to_pydatetime()
+        cols: dict[str, list] = {f.name: [] for f in DOC_SCHEMA.fields}
+        ap_idx = cols["idx_id"].append
+        ap_skip = cols["skip_reason"].append
+        ap_links = cols["links"].append
+        for url, ts, html in zip(urls, ts_objs, htmls):
             r = oracle.process_page(
                 url,
                 ts,
@@ -172,34 +188,14 @@ def make_process_udf(id_prefix: str, max_payload_size: int = oracle.MAX_DOCUMENT
             )
             m = r.meta or {}
             p = r.payload or {}
-            out.append(
-                {
-                    "idx_id": r.idx_id,
-                    "uuid": m.get("uuid"),
-                    "skip_reason": r.skip_reason or "",
-                    "source_file": m.get("source_file"),
-                    "source_offset": m.get("source_offset"),
-                    "warc_date": m.get("warc_date"),
-                    "content_type": m.get("content_type"),
-                    "content_length": m.get("content_length"),
-                    "http_content_length": m.get("http_content_length"),
-                    "http_content_type": m.get("http_content_type"),
-                    "content_encoding": m.get("content_encoding"),
-                    "title": p.get("title"),
-                    "meta_keywords": p.get("meta_keywords"),
-                    "meta_desc": p.get("meta_desc"),
-                    "body": p.get("body"),
-                    "full_body": p.get("full_body"),
-                    "headings": p.get("headings"),
-                    "lang": p.get("lang"),
-                    "body_length": p.get("body_length"),
-                    "warc_target_hostname": p.get("warc_target_hostname"),
-                    "warc_target_path": p.get("warc_target_path"),
-                    "warc_target_query_string": p.get("warc_target_query_string"),
-                    "links": r.links or [],
-                }
-            )
-        return pd.DataFrame(out)
+            ap_idx(r.idx_id)
+            ap_skip(r.skip_reason or "")
+            ap_links(r.links or [])
+            for k in _META_KEYS:
+                cols[k].append(m.get(k))
+            for k in _PAYLOAD_KEYS:
+                cols[k].append(p.get(k))
+        return pd.DataFrame(cols)
 
     return _process
 
