@@ -49,6 +49,7 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
         os.path.join(zip_dir, "frontier_engine"), "zip", root_dir=REPO, base_dir="frontier_engine"
     )
     spark_submit = shutil.which("spark-submit")
+    taskset = shutil.which("taskset")
     job = os.path.join(REPO, "frontier_engine", "jobs", "frontier_job.py")
     job_args = [
         job,
@@ -59,8 +60,15 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
         "--budget", str(budget),
         "--cores", str(cores),
     ]
+    # Pin the WHOLE process tree (JVM + python workers) to `cores` CPUs:
+    # local[N] caps concurrent *tasks* only — helper threads (Arrow
+    # writers, GC, python workers) otherwise spill onto the idle cores of
+    # the 32-core host, inflating the small-N level. A real N-core executor
+    # node runs those threads inside its own N cores; taskset reproduces
+    # that, and the internal oversubscription is identical at both levels.
+    pin = [taskset, "-c", f"0-{cores - 1}"] if taskset else []
     if spark_submit:
-        cmd = [
+        cmd = pin + [
             spark_submit,
             "--master", f"local[{cores}]",
             "--driver-memory", "90g",
@@ -72,7 +80,7 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
             "--py-files", zip_path,
         ] + job_args
     else:  # fallback: plain python (session built in-job)
-        cmd = [sys.executable] + job_args
+        cmd = pin + [sys.executable] + job_args
     env = dict(os.environ, PYTHONPATH=REPO)
     tot0, steal0 = _cpu_ticks()
     t0 = time.time()
@@ -95,9 +103,9 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=400000)
-    ap.add_argument("--seeds", type=int, default=40000)
-    ap.add_argument("--budget", type=int, default=500)
+    ap.add_argument("--pages", type=int, default=1200000)
+    ap.add_argument("--seeds", type=int, default=120000)
+    ap.add_argument("--budget", type=int, default=1500)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
     # N=4 vs 4N=16 on the 32-core host: both levels leave headroom for the
@@ -138,7 +146,10 @@ def main() -> None:
 Same frontier job ({args.rounds} rounds), same deterministic input
 ({args.pages} pages, {args.seeds} seeds, budget {args.budget}/host),
 run INTERLEAVED at two parallelism levels on one 32-core host
-({'spark-submit --py-files' if results[lo][0]['via_spark_submit'] else 'python (spark-submit unavailable)'}).
+({'spark-submit --py-files' if results[lo][0]['via_spark_submit'] else 'python (spark-submit unavailable)'}),
+each run taskset-pinned to exactly N / 4N CPUs so helper threads (Arrow
+writers, GC, python workers) compete inside the level's CPU budget at both
+levels — as they would on a real N-core executor node.
 Sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 
 The sandbox VM experiences bursty co-tenant CPU steal (per-run steal%

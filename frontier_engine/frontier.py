@@ -223,10 +223,14 @@ class FrontierEngine:
         proc = pipeline.processed(
             fetched_rows, id_prefix=self.id_prefix, repartition_to=n_part
         ).persist()
+        # materialize the extraction cache BEFORE the fused counters job:
+        # its tagged-union branches (new_frontier via discovered links, and
+        # the docs branch) both read proc, and concurrent branches of one
+        # job would otherwise compute the heavy UDF twice in parallel.
+        proc.count()
+        _t = _mark("seen_schedule_fetch_extract", _t)
         meta = pipeline.meta_docs(proc).sortWithinPartitions("idx_id")
         payload = pipeline.payload_docs(proc).sortWithinPartitions("idx_id")
-        n_docs_ok = proc.where(F.col("doc.skip_reason") == "").count()
-        _t = _mark("seen_robots_schedule_fetch_extract", _t)
 
         # 6. discover links → next round's pending candidates (resolve +
         # canonicalize fused into one Arrow stage)
@@ -292,15 +296,36 @@ class FrontierEngine:
             "host", "seq", "url_norm", "idx_id", "priority",
         )
 
-        # counters + lineage in TWO aggregate jobs over persisted frames
-        # (the Metrics.counter analog, process.py:120 — not N count() jobs)
+        # ALL round metrics in ONE aggregate job over a tagged union of the
+        # persisted frames (the Metrics.counter analog, process.py:120).
+        # Every extra driver action pays Catalyst planning + scheduling on
+        # these large plan trees — a fixed serial cost per round that a
+        # single fused job pays once.
+        tag = lambda df, kind, k1, k2: df.select(
+            F.lit(kind).alias("kind"), k1.alias("k1"), k2.alias("k2")
+        )
+        tagged = (
+            tag(new_frontier, "status", F.col("status"), F.col("round").cast("string"))
+            .unionByName(tag(
+                scheduled, "shard",
+                urlseen.shard_of(F.col("url_hash"), self.n_shards).cast("string"), F.lit(""),
+            ))
+            .unionByName(tag(proc, "docs", F.col("doc.skip_reason"), F.lit("")))
+        )
+        rows = tagged.groupBy("kind", "k1", "k2").agg(F.count(F.lit(1)).alias("n")).collect()
         status_counts = {
-            (r["status"], r["round"]): r["n"]
-            for r in new_frontier.groupBy("status", "round")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            (r["k1"], int(r["k2"])): r["n"] for r in rows if r["kind"] == "status"
         }
-        _t = _mark("discover_links_new_frontier", _t)
+        n_docs_ok = sum(r["n"] for r in rows if r["kind"] == "docs" and r["k1"] == "")
+        lineage = sorted(
+            (
+                {"shard_id": int(r["k1"]), "scheduled": r["n"]}
+                for r in rows
+                if r["kind"] == "shard"
+            ),
+            key=lambda d: d["shard_id"],
+        )
+        _t = _mark("counters_lineage_job", _t)
         n_fetched = status_counts.get(("fetched", round_no), 0)
         n_missing = status_counts.get(("missing", round_no), 0)
         n_dup = status_counts.get(("dup", round_no), 0)
@@ -320,14 +345,6 @@ class FrontierEngine:
         }
         counters["pending_out"] = counters["skipped_budget"] + counters["discovered_new"]
         counters["seen_total"] = seen_total + n_scheduled
-        # per-partition lineage: rows touched per urlseen shard this round
-        lineage = [
-            {"shard_id": r["shard_id"], "scheduled": r["n"]}
-            for r in scheduled.groupBy(urlseen.shard_of(F.col("url_hash"), self.n_shards).alias("shard_id"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
-        _t = _mark("lineage", _t)
         self.store.commit(
             tables={
                 "frontier": new_frontier,

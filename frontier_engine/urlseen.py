@@ -24,7 +24,6 @@ their own hash partition. In-sandbox defaults are scaled down (64 shards,
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -118,36 +117,41 @@ def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def mark_maybe_seen(candidates: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
-    """Add ``maybe_seen`` to candidates via broadcast-join + numpy bit test.
+    """Add ``maybe_seen`` to candidates via shard-cogrouped numpy bit test.
 
-    Bloom guarantee: maybe_seen=False ⇒ definitely unseen. The shard table
-    is tiny (n_shards rows) — broadcast, no shuffle of the candidate side.
-    """
+    Bloom guarantee: maybe_seen=False ⇒ definitely unseen.
+
+    Layout matters: a *join* would replicate the per-shard bitmap (m_bits/8
+    bytes, e.g. 128 KiB) onto EVERY candidate row — O(rows × bitmap) through
+    the join and the Arrow boundary. Cogrouping on shard_id ships each bitmap
+    exactly once per group: O(rows + shards × bitmap). The candidate shuffle
+    on shard_id is the same shuffle a shard-local membership test needs at
+    10^10 scale (n_shards = 4096 there, 64 in-sandbox; both ≥ cores)."""
     fpr = 0.01
     k = _k_hashes(fpr)
-    joined = candidates.withColumn(
-        "shard_id", shard_of(F.col("url_hash"), n_shards)
-    ).join(F.broadcast(shards.select("shard_id", "filter_bytes", "fpr")), "shard_id", "left")
-
+    cand = candidates.withColumn("shard_id", shard_of(F.col("url_hash"), n_shards))
     out_schema = T.StructType(
-        [f for f in joined.schema.fields if f.name not in ("filter_bytes", "fpr")]
-        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
-    data_cols = [f.name for f in out_schema.fields if f.name != "maybe_seen"]
 
-    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            res = np.zeros(len(pdf), dtype=bool)
-            if len(pdf):
-                for fb, grp in pdf.groupby("filter_bytes", dropna=True, sort=False):
-                    bits = np.unpackbits(np.frombuffer(fb, dtype=np.uint8))
-                    idx = _indices(grp["url_hash"].to_numpy(), len(bits), k)
-                    res[grp.index.to_numpy()] = bits[idx].all(axis=0)
-            out = pdf[data_cols].copy()
-            out["maybe_seen"] = res
-            yield out
+    def test(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.copy()
+        if cand_pdf.empty:
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        res = np.zeros(len(cand_pdf), dtype=bool)
+        if not shard_pdf.empty and shard_pdf["filter_bytes"].iloc[0] is not None:
+            bits = np.unpackbits(np.frombuffer(shard_pdf["filter_bytes"].iloc[0], dtype=np.uint8))
+            idx = _indices(cand_pdf["url_hash"].to_numpy(), len(bits), k)
+            res = bits[idx].all(axis=0)
+        out["maybe_seen"] = res
+        return out
 
-    return joined.mapInPandas(test, out_schema)
+    return (
+        cand.groupBy("shard_id")
+        .cogroup(shards.select("shard_id", "filter_bytes").groupBy("shard_id"))
+        .applyInPandas(lambda key, c, s: test(c, s), out_schema)
+    )
 
 
 # ------------------------------------------------------------------ cuckoo
@@ -267,29 +271,31 @@ def cuckoo_delete_shards(shards: DataFrame, hashed: DataFrame, n_shards: int, n_
 
 
 def mark_maybe_seen_cuckoo(candidates: DataFrame, shards: DataFrame, n_shards: int, n_buckets: int = 1 << 14) -> DataFrame:
-    """Cuckoo twin of mark_maybe_seen (broadcast join + vectorized probe)."""
-    joined = candidates.withColumn(
-        "shard_id", shard_of(F.col("url_hash"), n_shards)
-    ).join(F.broadcast(shards.select("shard_id", "filter_bytes")), "shard_id", "left")
+    """Cuckoo twin of mark_maybe_seen (same shard-cogrouped layout — the slot
+    table is as large as a bloom bitmap and must never be row-replicated)."""
+    cand = candidates.withColumn("shard_id", shard_of(F.col("url_hash"), n_shards))
     out_schema = T.StructType(
-        [f for f in joined.schema.fields if f.name != "filter_bytes"]
-        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
-    data_cols = [f.name for f in out_schema.fields if f.name != "maybe_seen"]
 
-    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            res = np.zeros(len(pdf), dtype=bool)
-            if len(pdf):
-                for fb, grp in pdf.groupby("filter_bytes", dropna=True, sort=False):
-                    res[grp.index.to_numpy()] = cuckoo_contains(
-                        fb, grp["url_hash"].to_numpy(), n_buckets
-                    )
-            out = pdf[data_cols].copy()
-            out["maybe_seen"] = res
-            yield out
+    def test(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.copy()
+        if cand_pdf.empty:
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        res = np.zeros(len(cand_pdf), dtype=bool)
+        if not shard_pdf.empty and shard_pdf["filter_bytes"].iloc[0] is not None:
+            res = cuckoo_contains(
+                shard_pdf["filter_bytes"].iloc[0], cand_pdf["url_hash"].to_numpy(), n_buckets
+            )
+        out["maybe_seen"] = res
+        return out
 
-    return joined.mapInPandas(test, out_schema)
+    return (
+        cand.groupBy("shard_id")
+        .cogroup(shards.select("shard_id", "filter_bytes").groupBy("shard_id"))
+        .applyInPandas(lambda key, c, s: test(c, s), out_schema)
+    )
 
 
 def filter_unseen(

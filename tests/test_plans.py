@@ -84,7 +84,9 @@ class TestPlanShapes:
         payload = spark.createDataFrame([("a", "x")], "warc_target_uri string, title string")
         assert "BroadcastHashJoin" in plan_of(ranks.join_ranks(payload, t))
 
-    def test_bloom_membership_broadcast(self, spark):
+    def test_bloom_membership_cogrouped_not_joined(self, spark):
+        """The bitmap must cross the Arrow boundary once per shard group —
+        a join would replicate m_bits/8 bytes onto every candidate row."""
         from frontier_engine import urlseen
 
         d = spark.createDataFrame([("u",)], "url_norm string").withColumn(
@@ -92,4 +94,5 @@ class TestPlanShapes:
         )
         shards = urlseen.build_shards(d, 8, 1 << 14)
         plan = plan_of(urlseen.mark_maybe_seen(d, shards, 8))
-        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
