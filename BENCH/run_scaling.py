@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_pages_parquet(n_pages: int, out_dir: str, paras: int = 50) -> str:
+def build_pages_parquet(n_pages: int, out_dir: str, paras: int = 100) -> str:
     """Generate the deterministic corpus once (shared by every run) with the
     distributed Spark-side generator — pure column exprs, no driver data."""
     from frontier_engine import synth
@@ -108,6 +108,9 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=1500)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--runs", type=int, default=3)
+    # ~30 KB html/page (Common-Crawl-realistic; lighter pages understate the
+    # parallel fraction relative to the per-round scheduling floor)
+    ap.add_argument("--paras", type=int, default=100)
     # N=4 vs 4N=16 on the 32-core host: both levels leave headroom for the
     # JVM scheduler/GC/shuffle threads and the python daemons, mirroring a
     # real cluster where those run beside the task slots on every node.
@@ -119,7 +122,7 @@ def main() -> None:
 
     data_dir = tempfile.mkdtemp(prefix="scale_pages_")
     print(f"generating {args.pages} pages ...", flush=True)
-    pages_path = build_pages_parquet(args.pages, data_dir)
+    pages_path = build_pages_parquet(args.pages, data_dir, paras=args.paras)
 
     # INTERLEAVED runs (lo,hi,lo,hi,…): the sandbox VM suffers bursty CPU
     # steal from co-tenants, so consecutive same-level runs share bias.
