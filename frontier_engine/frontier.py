@@ -9,9 +9,21 @@ Each round (north_rule pipeline):
     4. "fetch"           equi join against the pages table (keep-newest)
     5. process           extraction pipeline               (pipeline.py)
     6. discover          links → canonicalize → new pending candidates
-    7. commit            IceLite snapshot: frontier/seen/shards replaced,
-                         schedule/meta/payload appended, counters +
-                         per-partition lineage in the manifest (icelite.py)
+    7. commit            IceLite snapshot: pending/shards replaced,
+                         settled-log/known/seen/schedule/meta/payload
+                         APPENDED, counters + per-partition lineage in the
+                         manifest (icelite.py)
+
+State layout (write volume ∝ round delta, never ∝ crawl size):
+  frontier_pending  REPLACED  the working set (grows/shrinks with the crawl
+                              wave — the only full rewrite, and it IS the
+                              active state, not history)
+  frontier_log      APPEND    settled rows (fetched/missing/dup/blocked)
+                              from this round only
+  frontier_known    APPEND    url_hash of every candidate ever admitted —
+                              the discovered-link dedup set (8 B/row)
+  seen              APPEND    scheduled (url_hash, url_norm) per round
+A full historical frontier view is ``frontier_table()`` = pending ∪ log.
 
 Determinism: candidate identity is idx_id = index_uuid(round-millis,
 url-derived offset, url-derived source file, webis_uuid(url_norm)) — the
@@ -121,6 +133,7 @@ class FrontierEngine:
         n_shards: int = 64,
         bloom_bits: int = 1 << 20,
         budget: int = politeness.DEFAULT_BUDGET,
+        broadcast_row_limit: int = 8_000_000,
     ):
         self.spark = spark
         self.store = IceLite(store_root)
@@ -128,6 +141,9 @@ class FrontierEngine:
         self.n_shards = n_shards
         self.bloom_bits = bloom_bits
         self.budget = budget
+        # ~120 B/row of (url_norm, host, 4 scalars) → ≈1 GB at the limit,
+        # safely under Spark's 8 GB broadcast ceiling / driver heap
+        self.broadcast_row_limit = broadcast_row_limit
 
     # ------------------------------------------------------------- state
 
@@ -135,21 +151,25 @@ class FrontierEngine:
         return self.store.current_snapshot_id() is not None
 
     def init(self, seeds: DataFrame, robots: DataFrame) -> int:
-        """Snapshot 0: seeded frontier + robots + empty seen/shards."""
-        frontier = candidates_from_urls(seeds, round_no=0, id_prefix=self.id_prefix)
+        """Snapshot 0: seeded pending set + known hashes + robots + empty
+        seen/shards."""
+        frontier = candidates_from_urls(seeds, round_no=0, id_prefix=self.id_prefix).persist()
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         empty_shards = self.spark.createDataFrame([], urlseen.SHARD_SCHEMA)
         n = frontier.count()
-        return self.store.commit(
+        sid = self.store.commit(
             tables={
-                "frontier": frontier,
+                "frontier_pending": frontier,
                 "seen": empty_seen,
                 "urlseen_shards": empty_shards,
                 "robots": robots,
             },
+            append_tables={"frontier_known": frontier.select("url_hash")},
             counters={"round": -1, "seeded": n, "pending_out": n, "seen_total": 0},
             note="init",
         )
+        frontier.unpersist()
+        return sid
 
     def _read(self, table: str) -> Optional[DataFrame]:
         return self.store.read(self.spark, table)
@@ -167,13 +187,11 @@ class FrontierEngine:
         n_pending_in = prev_counters["pending_out"]
         seen_total = prev_counters.get("seen_total", 0)
 
-        frontier = self._read("frontier")
+        pending = self._read("frontier_pending")
+        known = self._read("frontier_known")
         seen = self._read("seen")
         shards = self._read("urlseen_shards")
         robots = self._read("robots")
-
-        pending = frontier.where(F.col("status") == "pending")
-        settled = frontier.where(F.col("status") != "pending")
 
         # 1. URL-seen: bloom prefilter + exact anti join
         unseen = urlseen.filter_unseen(pending, shards, seen, self.n_shards).persist()
@@ -191,11 +209,19 @@ class FrontierEngine:
         # 4. fetch: equi join on url_norm against keep-newest pages. The
         # scheduled side is budget-bounded (≤ budget × hosts rows of a few
         # small columns) — broadcast it so the html-heavy pages side NEVER
-        # shuffles: it streams straight from its cached partitions. At
-        # 10^10 scale with an unbounded schedule the swap is a bucketed
-        # shuffle-hash join on url_norm (pages bucketed at write time).
+        # shuffles: it streams straight from its cached partitions. The
+        # broadcast is CONDITIONAL on the actual scheduled count (a cheap
+        # count on the persisted schedule — it materializes a cache every
+        # later step reuses): above ``broadcast_row_limit`` rows the hint
+        # would exceed driver/broadcast limits, so fall back to a shuffle
+        # join and let AQE pick the strategy. At 10^10 scale the fallback
+        # is a bucketed shuffle-hash join on url_norm (pages bucketed at
+        # write time).
         fetch_cols = ["url_norm", "url_hash", "host", "priority", "idx_id", "seq"]
-        fetched_rows = F.broadcast(scheduled.select(*fetch_cols)).join(
+        sched_small = scheduled.select(*fetch_cols)
+        if scheduled.count() <= self.broadcast_row_limit:
+            sched_small = F.broadcast(sched_small)
+        fetched_rows = sched_small.join(
             pages_prepared.select("url_norm", "url", "warc_ts", "html"), "url_norm", "inner"
         ).persist()
         missing = scheduled.select("url_norm", "url_hash", "host", "priority", "idx_id").join(
@@ -249,15 +275,20 @@ class FrontierEngine:
             resolve_base_col="base_url",
         )
 
-        # 7. new state
+        # 7. new state — O(round delta) writes: settled rows APPEND to the
+        # status log, newly-admitted hashes APPEND to the known set, and only
+        # the pending working set (which shrinks as the wave settles) is
+        # replaced. History is never rewritten.
         mark = lambda df, status: df.select(
             "url_norm", "url_hash", "host", "priority",
             F.lit(status).alias("status"), F.lit(round_no).cast("int").alias("round"), "idx_id",
         )
-        fetched_state = mark(fetched_rows, "fetched")
-        missing_state = mark(missing, "missing")
-        dup_state = mark(dup, "dup")
-        blocked_state = mark(blocked, "skipped_robots")
+        settled_delta = (
+            mark(fetched_rows, "fetched")
+            .unionByName(mark(missing, "missing"))
+            .unionByName(mark(dup, "dup"))
+            .unionByName(mark(blocked, "skipped_robots"))
+        ).persist()
         # not scheduled this round → stays pending (budget carry-over);
         # one anti join against the union of settled keys, not three
         settled_keys = (
@@ -268,17 +299,10 @@ class FrontierEngine:
         leftover = pending.join(settled_keys, "url_hash", "left_anti").select(
             [f.name for f in FRONTIER_SCHEMA.fields]
         )
-        # anti vs frontier only: fetched/dup/blocked rows were pending and are
-        # therefore already in the frontier — no extra union/distinct needed
-        new_pending = discovered.join(frontier.select("url_hash"), "url_hash", "left_anti")
-        new_frontier = (
-            settled.unionByName(fetched_state)
-            .unionByName(missing_state)
-            .unionByName(dup_state)
-            .unionByName(blocked_state)
-            .unionByName(leftover)
-            .unionByName(new_pending)
-        ).persist()
+        # anti vs known only: every url_hash ever admitted (pending at any
+        # point) is in frontier_known — 8 B/row, bloom-prefilterable at scale
+        new_pending = discovered.join(known.select("url_hash"), "url_hash", "left_anti")
+        pending_new = leftover.unionByName(new_pending).persist()
         # seen is APPEND-ONLY: per-round scheduled sets are disjoint by
         # construction (this round's candidates were seen-filtered), so no
         # distinct/rewrite of the accumulated set is ever needed — O(round)
@@ -305,7 +329,7 @@ class FrontierEngine:
             F.lit(kind).alias("kind"), k1.alias("k1"), k2.alias("k2")
         )
         tagged = (
-            tag(new_frontier, "status", F.col("status"), F.col("round").cast("string"))
+            tag(settled_delta.unionByName(pending_new), "status", F.col("status"), F.col("round").cast("string"))
             .unionByName(tag(
                 scheduled, "shard",
                 urlseen.shard_of(F.col("url_hash"), self.n_shards).cast("string"), F.lit(""),
@@ -347,10 +371,12 @@ class FrontierEngine:
         counters["seen_total"] = seen_total + n_scheduled
         self.store.commit(
             tables={
-                "frontier": new_frontier,
+                "frontier_pending": pending_new,
                 "urlseen_shards": new_shards,
             },
             append_tables={
+                "frontier_log": settled_delta,
+                "frontier_known": new_pending.select("url_hash"),
                 "seen": seen_delta,
                 "schedule": schedule_out,
                 "meta_docs": meta,
@@ -364,7 +390,7 @@ class FrontierEngine:
         _mark("commit_writes", _t)
         if timing_on:
             print(f"[frontier-timing] round {round_no}: {phases}", flush=True)
-        for df in (unseen, sched_all, fetched_rows, proc, new_frontier):
+        for df in (unseen, sched_all, fetched_rows, proc, settled_delta, pending_new):
             df.unpersist()
         return counters
 
@@ -380,3 +406,13 @@ class FrontierEngine:
 
     def schedule_table(self) -> Optional[DataFrame]:
         return self._read("schedule")
+
+    def frontier_table(self) -> Optional[DataFrame]:
+        """Full historical frontier view: pending working set ∪ settled
+        status log. A READ-side union — the underlying state is never
+        rewritten (see module docstring, State layout)."""
+        pending = self._read("frontier_pending")
+        log = self._read("frontier_log")
+        if pending is None:
+            return log
+        return pending if log is None else pending.unionByName(log)

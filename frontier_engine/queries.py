@@ -102,7 +102,7 @@ def content_filters(spark, sf_dir):
     SELECT CASE WHEN n_chars < 200 THEN 'too_short'
                 WHEN lang NOT IN ('en','de','fr') THEN 'wrong_lang'
                 ELSE 'ok' END AS reason,
-           count(*) AS n, sum(n_chars) AS chars
+           count(*) AS n, sum(n_chars)::bigint AS chars
     FROM documents GROUP BY 1
     """,
 )
@@ -657,35 +657,90 @@ def lsh_band_buckets(spark, sf_dir):
     )
 
 
+# Jaccard similarity threshold for the exact near-dup verifier; the prefix
+# length below is derived from it (PPJoin / All-Pairs prefix filtering)
+JACCARD_T = 0.9
+
+
 @q(
     "ngram_jaccard_pairs",
     f"""
     WITH tok AS ({_TOK_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT t.doc_id, t.tok,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS pos,
+             count(*) OVER (PARTITION BY t.doc_id) AS sz
+      FROM tok t JOIN dfreq d ON d.tok = t.tok),
+    prefix AS (SELECT doc_id, tok FROM ranked
+               WHERE pos <= sz - ceil({JACCARD_T} * sz)::bigint + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id),
     inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      SELECT c.da, c.db, count(*) AS i
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.da
+      JOIN tok b ON b.doc_id = c.db AND b.tok = a.tok
       GROUP BY 1, 2)
     SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_T}
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact token-set Jaccard for near-dup pairs ≥0.9 via inverted-index
-    self-join (shuffle on token; sizes broadcast back). The LSH query above
-    is the 100TB-scale prefilter for this exact verifier."""
+    """Exact token-set Jaccard for near-dup pairs ≥ t (=0.9), scale-safe via
+    PPJoin-style prefix filtering (Xiao et al., WWW'08 — public algorithm):
+
+    1. order tokens globally by (document frequency ASC, token) — a total
+       order putting rare tokens first,
+    2. each doc's candidate prefix = its first |d| - ceil(t·|d|) + 1 tokens
+       in that order (~10% of the doc at t=0.9). LEMMA: if J(A,B) ≥ t then
+       the smallest common token of A and B lies in BOTH prefixes — because
+       |A∩B| ≥ t·|A| forces it into position ≤ |A| - ceil(t·|A|) + 1. So
+       candidate generation over prefixes has EXACT recall, unconditionally
+       (unlike a df-cap, which loses pairs whose shared tokens are all hot
+       — fatal on boilerplate-heavy web corpora),
+    3. self-join on prefix tokens only: hot tokens sort last and almost
+       never enter a prefix, so the per-token join fan-out collapses —
+       no "the"-token k² blowup,
+    4. exact verification: candidates joined back to FULL token sets, so
+       the reported jaccard is exact.
+
+    The LSH query above is the probabilistic alternative prefilter; this is
+    the exact one."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "tok")))
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(JACCARD_T) * F.col("sz")).cast("long") + 1
+    ).select("doc_id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    # exact intersection over FULL token sets, restricted to candidates:
+    # fan-out bounded by |cand| × tokens-per-doc, equi-joined on (doc, tok)
     inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        cand.join(tok.alias("ta"), F.col("da") == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("db") == F.col("tb.doc_id")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sa = sizes.alias("sa")
@@ -694,7 +749,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return (
         inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
-        .where(jac >= 0.9)
+        .where(jac >= JACCARD_T)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -1031,9 +1086,9 @@ def bm25_scoring(spark, sf_dir):
       SELECT event_id, user_id,
              sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_id
+                     ROWS UNBOUNDED PRECEDING)::bigint AS session_id
       FROM (SELECT event_id, user_id, ts,
-                   epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                   epoch(ts)::bigint - lag(epoch(ts)::bigint) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
             FROM events))
     """,
 )

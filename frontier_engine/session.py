@@ -35,11 +35,16 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def _local_dir() -> str:
-    """Shuffle/spill dir: prefer RAM-backed /dev/shm — the sandbox's single
-    virtual disk is a *shared* serial resource that a real multi-node cluster
-    doesn't have (each node brings its own shuffle SSD), so disk-bound shuffle
-    would understate scaling. Falls back to /tmp when /dev/shm is absent."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    """Shuffle/spill dir. Library default is disk-backed tmp (spill belongs
+    on disk: tmpfs spill consumes RAM and can ENOSPC/OOM once shuffle volume
+    exceeds the shm mount). RAM-backed /dev/shm is OPT-IN via
+    ``FRONTIER_SHM_TMP=1`` — used only by the scaling benchmark, where the
+    sandbox's single shared virtual disk (a serial resource no real
+    multi-node cluster has) would otherwise understate scaling."""
+    if os.environ.get("FRONTIER_SHM_TMP") == "1" and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    else:
+        base = tempfile.gettempdir()
     d = os.path.join(base, "spark_local")
     os.makedirs(d, exist_ok=True)
     return d

@@ -139,6 +139,10 @@ def mark_maybe_seen(candidates: DataFrame, shards: DataFrame, n_shards: int) -> 
         if cand_pdf.empty:
             out["maybe_seen"] = pd.Series([], dtype=bool)
             return out
+        # a duplicated shard row (e.g. a missed merge_shards) would silently
+        # test against ONE of two bitmaps → false "unseen" → bloom guarantee
+        # violated downstream. Fail loudly instead.
+        assert len(shard_pdf) <= 1, f"duplicate urlseen shard rows: {shard_pdf['shard_id'].tolist()}"
         res = np.zeros(len(cand_pdf), dtype=bool)
         if not shard_pdf.empty and shard_pdf["filter_bytes"].iloc[0] is not None:
             bits = np.unpackbits(np.frombuffer(shard_pdf["filter_bytes"].iloc[0], dtype=np.uint8))
@@ -283,6 +287,7 @@ def mark_maybe_seen_cuckoo(candidates: DataFrame, shards: DataFrame, n_shards: i
         if cand_pdf.empty:
             out["maybe_seen"] = pd.Series([], dtype=bool)
             return out
+        assert len(shard_pdf) <= 1, f"duplicate urlseen shard rows: {shard_pdf['shard_id'].tolist()}"
         res = np.zeros(len(cand_pdf), dtype=bool)
         if not shard_pdf.empty and shard_pdf["filter_bytes"].iloc[0] is not None:
             res = cuckoo_contains(

@@ -85,6 +85,49 @@ class TestFrontierRounds:
         assert payload.count() == sum(c["docs_ok"] for c in counters)
         assert payload.select("idx_id").distinct().count() == payload.count()
 
+    def test_state_writes_are_delta_not_crawl(self, spark, run3):
+        """Scale gate: per-round frontier state write volume ∝ round delta,
+        never ∝ total crawl size. The settled log and known set are
+        append-only (each snapshot dir holds ONLY that round's rows); the
+        only replaced table is the pending working set."""
+        import os
+
+        eng, counters = run3
+
+        def snap_rows(table, snap_id):
+            path = os.path.join(eng.store.root, "data", table, f"snap-{snap_id}")
+            if not os.path.isdir(path):
+                return None
+            return spark.read.parquet(path).count()
+
+        for c in counters:
+            sid = c["round"] + 1  # snapshot 0 = init
+            settled = c["fetched"] + c["missing"] + c["dup"] + c["skipped_robots"]
+            assert snap_rows("frontier_log", sid) == settled
+            assert snap_rows("frontier_known", sid) == c["discovered_new"]
+            assert snap_rows("frontier_pending", sid) == c["pending_out"]
+            # history is NEVER rewritten: no full-frontier file in any round
+            # snapshot (the old design wrote pending+log+history here)
+            assert snap_rows("frontier", sid) is None
+
+    def test_frontier_table_view(self, spark, run3):
+        """pending ∪ log view is consistent with counters and has no
+        duplicate settled rows."""
+        eng, counters = run3
+        ft = eng.frontier_table()
+        last = counters[-1]
+        n_settled = sum(
+            c["fetched"] + c["missing"] + c["dup"] + c["skipped_robots"] for c in counters
+        )
+        assert ft.where(F.col("status") != "pending").count() == n_settled
+        assert ft.where(F.col("status") == "pending").count() == last["pending_out"]
+        # a url_hash settles at most once
+        dup_settled = (
+            ft.where(F.col("status") != "pending")
+            .groupBy("url_hash").count().where("count > 1").count()
+        )
+        assert dup_settled == 0
+
     def test_lineage_recorded(self, run3):
         eng, _ = run3
         snaps = eng.store.snapshots()

@@ -84,6 +84,39 @@ class TestPlanShapes:
         payload = spark.createDataFrame([("a", "x")], "warc_target_uri string, title string")
         assert "BroadcastHashJoin" in plan_of(ranks.join_ranks(payload, t))
 
+    def test_jaccard_self_join_input_is_prefix_bounded(self, spark):
+        """Scale guard for the exact-Jaccard verifier: the candidate
+        self-join runs over per-doc PREFIXES (the (1-t)·|d|+1 globally
+        rarest tokens), never the full inverted index — so the hot tokens
+        that dominate df (and would k²-blow-up a raw token self-join) are
+        excluded from the join input."""
+        from pyspark.sql.window import Window
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        tok = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            ).alias("tok"),
+        )
+        dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        wdoc = Window.partitionBy("doc_id")
+        ranked = (
+            tok.join(dfreq, "tok")
+            .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "tok")))
+            .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        )
+        prefix = ranked.where(
+            F.col("pos") <= F.col("sz") - F.ceil(F.lit(Q.JACCARD_T) * F.col("sz")).cast("long") + 1
+        )
+        n_tok, n_prefix = tok.count(), prefix.count()
+        # join input shrinks to ~(1-t) of the index (+1 token per doc)
+        assert n_prefix <= (1 - Q.JACCARD_T) * n_tok + d.count() + 1
+        # the corpus' hottest token must NOT be join input (it sorts last)
+        hottest = dfreq.orderBy(F.col("df").desc()).first()
+        max_df_in_prefix = prefix.agg(F.max("df")).collect()[0][0]
+        assert max_df_in_prefix < hottest.df
+
     def test_bloom_membership_cogrouped_not_joined(self, spark):
         """The bitmap must cross the Arrow boundary once per shard group —
         a join would replicate m_bits/8 bytes onto every candidate row."""
