@@ -3,8 +3,12 @@ scoring configuration (conf/data_index.py) re-expressed as Spark column
 expressions and DataFrame computations (SURVEY.md §2.10).
 
 - host analyzer      — strip leading ``www\\d*.`` (data_index.py:646-652),
-  word-delimiter split (:653-661), cc-TLD stopword removal (258-entry list,
-  :385-645 — representative subset here), unique
+  word-delimiter split (:653-661), cc-TLD stopword removal (FULL 256-entry
+  list, :385-645), unique
+- per-language chains — the 24 language analyzers (:725-976) as portable
+  SQL expressions (chain_sql / analyze_text below): one generated string
+  that parses identically in Spark SQL and DuckDB, so the engine and its
+  correctness oracle share a single source of truth
 - path analyzer      — ``path_hierarchy`` tokenizer on '/' (:915-918,982-985)
 - query-string analyzer — pattern split on ``[&=]`` (:955-958,978-981)
 - BM25 scoring       — the index's similarity (BM25 throughout
@@ -23,12 +27,33 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-# representative cc-TLD stopword subset (full list: data_index.py:385-645)
+# FULL host stopword list — all 256 entries of the reference's
+# host_stop_filter (data_index.py:385-645), verbatim: generic TLDs + every
+# ISO-3166 cc-TLD the reference strips.
 CC_TLD_STOPWORDS = [
-    "ac", "ad", "ae", "at", "au", "be", "br", "ca", "ch", "cn", "co", "com",
-    "cz", "de", "dk", "edu", "es", "eu", "fi", "fr", "gov", "gr", "hk", "hu",
-    "ie", "il", "in", "info", "io", "it", "jp", "kr", "mx", "net", "nl", "no",
-    "nz", "org", "pl", "pt", "ro", "ru", "se", "sg", "tr", "tw", "ua", "uk", "us",
+    "com", "net", "org",
+    "ac", "ad", "ae", "af", "ag", "ai", "al", "am", "an", "ao", "aq", "ar",
+    "as", "at", "au", "aw", "ax", "az", "ba", "bb", "bd", "be", "bf", "bg",
+    "bh", "bi", "bj", "bm", "bn", "bo", "br", "bs", "bt", "bv", "bw", "by",
+    "bz", "ca", "cc", "cd", "cf", "cg", "ch", "ci", "ck", "cl", "cm", "cn",
+    "co", "cr", "cs", "cu", "cv", "cx", "cy", "cz", "dd", "de", "dj", "dk",
+    "dm", "do", "dz", "ec", "ee", "eg", "eh", "er", "es", "et", "eu", "fi",
+    "fj", "fk", "fm", "fo", "fr", "ga", "gb", "gd", "ge", "gf", "gg", "gh",
+    "gi", "gl", "gm", "gn", "gp", "gq", "gr", "gs", "gt", "gu", "gw", "gy",
+    "hk", "hm", "hn", "hr", "ht", "hu", "id", "ie", "il", "im", "in", "io",
+    "iq", "ir", "is", "it", "je", "jm", "jo", "jp", "ke", "kg", "kh", "ki",
+    "km", "kn", "kp", "kr", "kw", "ky", "kz", "la", "lb", "lc", "li", "lk",
+    "lr", "ls", "lt", "lu", "lv", "ly", "ma", "mc", "md", "me", "mg", "mh",
+    "mk", "ml", "mm", "mn", "mo", "mp", "mq", "mr", "ms", "mt", "mu", "mv",
+    "mw", "mx", "my", "mz", "na", "nc", "ne", "nf", "ng", "ni", "nl", "no",
+    "np", "nr", "nu", "nz", "om", "pa", "pe", "pf", "pg", "ph", "pk", "pl",
+    "pm", "pn", "pr", "ps", "pt", "pw", "py", "qa", "re", "ro", "rs", "ru",
+    "rw", "sa", "sb", "sc", "sd", "se", "sg", "sh", "si", "sj", "sk", "sl",
+    "sm", "sn", "so", "sr", "st", "su", "sv", "sy", "sz", "tc", "td", "tf",
+    "tg", "th", "tj", "tk", "tl", "tm", "tn", "to", "tp", "tr", "tt", "tv",
+    "tw", "tz", "ua", "ug", "uk", "um", "us", "uy", "uz", "va", "vc", "ve",
+    "vg", "vi", "vn", "vu", "wf", "ws", "ye", "yt", "yu", "za", "zm", "zr",
+    "zw",
 ]
 
 
@@ -155,3 +180,273 @@ def lm_dirichlet_scores(
         .join(norm, "doc_id")
         .select("doc_id", (F.col("s") + F.col("norm")).alias("lm_score"))
     )
+
+
+# =====================================================================
+# Per-language analyzer chains (data_index.py:662-976)
+#
+# The reference runs each language's field through an Elasticsearch chain:
+#   icu_tokenizer → icu_normalizer → [elision] → [<lang>_stem_filter]
+#   → icu_folding
+# ICU and the Lucene stemmer jars don't exist in-sandbox, so each stage is
+# re-expressed as a PORTABLE SQL scalar expression — text that parses
+# identically in Spark SQL (`F.expr`) and DuckDB. One generator is the
+# single source of truth for BOTH the engine and its correctness oracle:
+#   - normalizer  → lower()                       (icu_normalizer stand-in;
+#                   NFKC canonicalization has no portable SQL equivalent —
+#                   documented gap, inputs are assumed NFC)
+#   - elision     → regexp_replace('^(qu|jusqu|…|[lmtnsjdc])''', '')
+#   - stemmer     → first-match CASE over suffix rules (simple suffix
+#                   stemmers in the spirit of Lucene's minimal/light
+#                   stemmers — Savoy-style light stemming, public
+#                   literature; NOT a byte-port of the GPL Lucene code)
+#   - folding     → replace(ß/œ/æ) + translate(accented → base)
+# =====================================================================
+
+# accent fold map (1:1 chars via translate; multi-char via replace below)
+_FOLD_SRC = "àáâãäåāăąçćčďđèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏőŕŗřśšşșťţùúûüũūŭůűųýÿžźżğġħ"
+_FOLD_DST = "aaaaaaaaacccddeeeeeeeeeiiiiiiiiinnnnoooooooooorrrssssttuuuuuuuuuuyyzzzggh"
+
+# stemmer rule tables: ordered (suffix, min_token_len, strip_n | replacement,
+# excluded_endings). FIRST matching rule applies; no match → unchanged.
+STEM_RULES: dict[str, list] = {
+    # minimal_english: final -s unless -ss/-us/-is; -ies → y
+    "en": [("ies", 5, "y", ()), ("s", 4, 1, ("ss", "us", "is"))],
+    # minimal_french (post-elision): plural/gender endings, len ≥ 6
+    "fr": [("aux", 6, "al", ()), ("x", 6, 1, ()), ("s", 6, 1, ()),
+           ("r", 6, 1, ()), ("e", 6, 1, ()), ("é", 6, 1, ())],
+    # minimal_german: plural endings
+    "de": [("nen", 7, 3, ()), ("en", 6, 2, ()), ("er", 6, 2, ()),
+           ("es", 6, 2, ()), ("se", 6, 2, ()), ("n", 5, 1, ()),
+           ("s", 5, 1, ()), ("e", 5, 1, ())],
+    # light_italian: final vowels
+    "it": [("i", 6, 1, ()), ("e", 6, 1, ()), ("o", 6, 1, ()), ("a", 6, 1, ())],
+    # light_spanish
+    "es": [("os", 5, 2, ()), ("as", 5, 2, ()), ("es", 5, 2, ()),
+           ("o", 5, 1, ()), ("a", 5, 1, ()), ("e", 5, 1, ())],
+    # minimal_portuguese: plural only
+    "pt": [("ns", 5, "m", ()), ("es", 5, 2, ()), ("s", 4, 1, ())],
+    # light_russian: adjective/noun endings
+    "ru": [("ами", 7, 3, ()), ("ями", 7, 3, ()), ("ого", 7, 3, ()),
+           ("его", 7, 3, ()), ("ов", 6, 2, ()), ("ев", 6, 2, ()),
+           ("ие", 6, 2, ()), ("ые", 6, 2, ()), ("ой", 6, 2, ()),
+           ("ый", 6, 2, ()), ("ий", 6, 2, ()), ("ах", 6, 2, ()),
+           ("ях", 6, 2, ()), ("ы", 5, 1, ()), ("и", 5, 1, ()),
+           ("а", 5, 1, ()), ("я", 5, 1, ()), ("о", 5, 1, ()), ("е", 5, 1, ())],
+    # light_swedish
+    "sv": [("arna", 7, 4, ()), ("erna", 7, 4, ()), ("orna", 7, 4, ()),
+           ("ar", 6, 2, ()), ("er", 6, 2, ()), ("or", 6, 2, ()),
+           ("en", 6, 2, ()), ("et", 6, 2, ()), ("an", 6, 2, ()),
+           ("a", 5, 1, ()), ("e", 5, 1, ())],
+    # light_hungarian: case suffixes + plural
+    "hu": [("nak", 7, 3, ()), ("nek", 7, 3, ()), ("ban", 7, 3, ()),
+           ("ben", 7, 3, ()), ("ok", 6, 2, ()), ("ek", 6, 2, ()),
+           ("ak", 6, 2, ()), ("k", 5, 1, ()), ("t", 5, 1, ())],
+    # light_finnish: locative cases + plural
+    "fi": [("ssa", 7, 3, ()), ("ssä", 7, 3, ()), ("sta", 7, 3, ()),
+           ("stä", 7, 3, ()), ("lla", 7, 3, ()), ("llä", 7, 3, ()),
+           ("lle", 7, 3, ()), ("lta", 7, 3, ()), ("ltä", 7, 3, ()),
+           ("en", 6, 2, ()), ("in", 6, 2, ()), ("t", 5, 1, ()),
+           ("n", 5, 1, ()), ("a", 5, 1, ()), ("ä", 5, 1, ())],
+}
+
+# every analyzer the reference declares (data_index.py:725-976): langs with
+# a stemmer stage, langs with norm+fold only, and the CJK family (separate
+# bigram tokenizer, see cjk_bigram_tokens)
+PLAIN_LANGS = ["ar", "bg", "cs", "nl", "no", "pl", "da", "th", "fa",
+               "lt", "ro", "tr", "el", "ca"]
+CJK_LANGS = ["zh", "ja", "ko"]
+# french elision articles (ES `elision` filter defaults)
+_ELISION_RE = "^(jusqu|quoiqu|lorsqu|puisqu|qu|[lmtnsjdc])'"  # raw regex; _sq() quotes it
+
+
+def _sq(s: str) -> str:
+    """single-quote a SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def fold_sql(col: str) -> str:
+    """icu_folding stand-in, portable SQL: multi-char folds then translate."""
+    multi = f"replace(replace(replace({col}, 'ß', 'ss'), 'œ', 'oe'), 'æ', 'ae')"
+    return f"translate({multi}, {_sq(_FOLD_SRC)}, {_sq(_FOLD_DST)})"
+
+
+def stem_sql(col: str, lang: str) -> str:
+    """First-match suffix-stemmer CASE for one language (portable SQL)."""
+    whens = []
+    for suffix, min_len, action, excluded in STEM_RULES[lang]:
+        n = len(suffix)
+        cond = f"length({col}) >= {min_len} AND right({col}, {n}) = {_sq(suffix)}"
+        for ex in excluded:
+            cond += f" AND right({col}, {len(ex)}) <> {_sq(ex)}"
+        if isinstance(action, int):
+            val = f"left({col}, length({col}) - {action})"
+        else:
+            val = f"left({col}, length({col}) - {n}) || {_sq(action)}"
+        whens.append(f"WHEN {cond} THEN {val}")
+    return f"CASE {' '.join(whens)} ELSE {col} END"
+
+
+def chain_sql(col: str, lang: str) -> str:
+    """Full analyzer chain for one language as ONE portable SQL expression:
+    lower → [elision] → [stem] → fold. `col` must already be a single
+    token (tokenization is engine-side: F.split / string_split_regex)."""
+    expr = f"lower({col})"
+    if lang == "fr":
+        expr = f"regexp_replace({expr}, {_sq(_ELISION_RE)}, '')"
+    if lang in STEM_RULES:
+        expr = stem_sql(expr, lang)
+    return fold_sql(expr)
+
+
+def dispatch_chain_sql(tok_col: str, lang_col: str, langs: list[str]) -> str:
+    """Language-dispatch CASE: apply each named language's chain, the
+    default (norm+fold) chain otherwise — one expression, both engines."""
+    whens = [
+        f"WHEN {lang_col} = {_sq(lg)} THEN {chain_sql(tok_col, lg)}"
+        for lg in langs
+        if lg in STEM_RULES
+    ]
+    return f"CASE {' '.join(whens)} ELSE {fold_sql(f'lower({tok_col})')} END"
+
+
+def analyze_text(df: DataFrame, text_col: str, lang_col: str,
+                 id_cols: list[str], langs: list[str] | None = None) -> DataFrame:
+    """Per-language analysis of a text column → one row per (id_cols, term):
+    apostrophe-preserving tokenize (icu_tokenizer stand-in), then the
+    portable per-language chain, dispatched on `lang_col`. All JVM-side
+    (codegen'd CASE/translate/regexp) — no Python in the loop."""
+    langs = langs or sorted(STEM_RULES)
+    toks = df.select(
+        *id_cols, F.col(lang_col).alias("__lang"),
+        F.explode(F.split(F.col(text_col), r"[^\p{L}\p{Nd}']+")).alias("__tok"),
+    ).where(F.length("__tok") > 0)
+    term = F.expr(dispatch_chain_sql("__tok", "__lang", langs))
+    return (
+        toks.withColumn("term", term)
+        .where(F.length("term") > 0)
+        .select(*id_cols, F.col("__lang").alias(lang_col), "term")
+    )
+
+
+def cjk_bigram_tokens(text: Column) -> Column:
+    """CJK analyzer stand-in (zh/ja/ko — data_index.py:862-864,928-938,966-976):
+    the smartcn/kuromoji tokenizer jars don't exist in-sandbox, so model the
+    ES `cjk` analyzer's documented behavior: overlapping bigrams over runs
+    of CJK ideographs; non-CJK runs tokenize as words. Pure JVM: regexp
+    run-split + sequence/transform bigramming."""
+    runs = F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{Nd}]+"), lambda t: F.length(t) > 0
+    )
+    is_cjk = lambda t: t.rlike("^[\\u3040-\\u30ff\\u3400-\\u9fff\\uac00-\\ud7af]+$")
+    return F.flatten(
+        F.transform(
+            runs,
+            lambda t: F.when(~is_cjk(t), F.array(t)).otherwise(
+                F.when(F.length(t) == 1, F.array(t)).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - 1),
+                        lambda i: t.substr(i, F.lit(2)),
+                    )
+                )
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- legacy similarities
+# The legacy ClueWeb index declares six similarities
+# (create_index_kibana.txt:7-39): lmd (LMDirichlet, above), lmj
+# (LMJelinekMercer), dfr (DFR basic_model=g after_effect=l
+# normalization=h2), dfi (DFI chisquared), ib (IB spl/ttf/h2) and a
+# scripted TF-IDF. Each is the published Lucene formula computed from
+# first principles over tf/df/ttf/dl/avgdl aggregations — pure DataFrame
+# ops, one shuffle for tf, broadcast joins for the per-term stats.
+
+def _term_stats(docs: DataFrame, query_terms: list[str], id_col: str, text_col: str):
+    """Shared stats: (tf, dl, per-term df/ttf, N, avgdl, total_tokens).
+    One count job + ONE fused aggregate for (avgdl, total)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(text_tokens(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    row = dl.agg(F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")).collect()[0]
+    avgdl, total = float(row["avgdl"] or 1.0), int(row["total"] or 1)
+    qt = [t.lower() for t in query_terms]
+    qtoks = toks.where(F.col("term").isin(qt))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ts = qtoks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("ttf")
+    )
+    return tf, dl, ts, n_docs, avgdl, total
+
+
+def _scored(tf: DataFrame, dl: DataFrame, ts: DataFrame, term_score, out: str) -> DataFrame:
+    return (
+        tf.join(F.broadcast(ts), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .withColumn("__s", term_score)
+        .groupBy("doc_id")
+        .agg(F.sum("__s").alias(out))
+    )
+
+
+def lm_jelinek_mercer_scores(docs, query_terms, id_col="doc_id", text_col="text",
+                             lam: float = 0.1) -> DataFrame:
+    """LMJelinekMercer (Lucene): Σ_t ln(1 + ((1-λ)·tf/dl) / (λ·ttf/total))."""
+    tf, dl, ts, _, _, total = _term_stats(docs, query_terms, id_col, text_col)
+    s = F.log(
+        F.lit(1.0)
+        + ((1 - lam) * F.col("tf") / F.col("dl"))
+        / (F.lit(lam) * F.col("ttf") / F.lit(float(total)))
+    )
+    return _scored(tf, dl, ts, s, "lmj")
+
+
+def dfr_glh2_scores(docs, query_terms, id_col="doc_id", text_col="text",
+                    c: float = 1.0) -> DataFrame:
+    """DFR basic_model=g, after_effect=l, normalization=h2 (Lucene DFR):
+      tfn = tf·log2(1 + c·avgdl/dl)                 (H2)
+      λ   = (ttf+1)/(N+ttf+1)                        (geometric model G)
+      score = 1/(1+tfn) · (log2(1+λ) + tfn·log2((1+λ)/λ))  (L after-effect)
+    """
+    tf, dl, ts, n_docs, avgdl, _ = _term_stats(docs, query_terms, id_col, text_col)
+    tfn = F.col("tf") * F.log2(F.lit(1.0) + F.lit(c * avgdl) / F.col("dl"))
+    lam = (F.col("ttf") + 1) / (F.lit(float(n_docs)) + F.col("ttf") + 1)
+    gain = F.log2(F.lit(1.0) + lam) + tfn * F.log2((F.lit(1.0) + lam) / lam)
+    s = gain / (F.lit(1.0) + tfn)
+    return _scored(tf, dl, ts, s, "dfr")
+
+
+def dfi_chisquared_scores(docs, query_terms, id_col="doc_id", text_col="text") -> DataFrame:
+    """DFI independence_measure=chisquared (Lucene DFISimilarity):
+      expected = ttf·dl/total;  score = log2(1 + (tf-expected)²/expected)
+      and 0 where tf ≤ expected (only surprising co-occurrence scores)."""
+    tf, dl, ts, _, _, total = _term_stats(docs, query_terms, id_col, text_col)
+    expected = F.col("ttf") * F.col("dl") / F.lit(float(total))
+    chi2 = (F.col("tf") - expected) * (F.col("tf") - expected) / expected
+    s = F.when(F.col("tf") > expected, F.log2(F.lit(1.0) + chi2)).otherwise(F.lit(0.0))
+    return _scored(tf, dl, ts, s, "dfi")
+
+
+def ib_spl_scores(docs, query_terms, id_col="doc_id", text_col="text",
+                  c: float = 1.0) -> DataFrame:
+    """IB distribution=spl, lambda=ttf, normalization=h2 (Lucene IB):
+      λ = (ttf+1)/(N+1);  tfn = tf·log2(1 + c·avgdl/dl)
+      score = -log2( (λ^(tfn/(tfn+1)) - λ) / (1-λ) )"""
+    tf, dl, ts, n_docs, avgdl, _ = _term_stats(docs, query_terms, id_col, text_col)
+    lam = (F.col("ttf") + 1) / F.lit(float(n_docs) + 1.0)
+    tfn = F.col("tf") * F.log2(F.lit(1.0) + F.lit(c * avgdl) / F.col("dl"))
+    s = -F.log2((F.pow(lam, tfn / (tfn + 1)) - lam) / (F.lit(1.0) - lam))
+    return _scored(tf, dl, ts, s, "ib")
+
+
+def scripted_tfidf_scores(docs, query_terms, id_col="doc_id", text_col="text") -> DataFrame:
+    """The index's scripted TF-IDF (create_index_kibana.txt:20-28, painless
+    source transcribed): idf = ln((N+1)/(df+1)) + 1; tf = √freq;
+    norm = 1/√dl; score = Σ_t idf·tf·norm."""
+    tf, dl, ts, n_docs, _, _ = _term_stats(docs, query_terms, id_col, text_col)
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    s = idf * F.sqrt(F.col("tf")) / F.sqrt(F.col("dl"))
+    return _scored(tf, dl, ts, s, "tfidf")

@@ -216,14 +216,61 @@ def processed(df: DataFrame, id_prefix: str = "synth", repartition_to: int | Non
     )
 
 
+# WARC header keys already surfaced as first-class meta columns — excluded
+# from the spill map so a consumer never sees the same fact twice
+_SPILL_EXCLUDED = ["warc_date", "warc_target_uri", "warc_type", "warc_record_id"]
+
+
+def warc_header_spill(headers):
+    """``warc_*`` dynamic-template spill (conf/meta_index.py:33-42): the ES
+    index accepts ANY unanticipated ``WARC-*`` header as a keyword field;
+    columnar tables can't grow columns per record, so the engine models it
+    as a MapType column — keys normalized ``WARC-Foo-Bar → warc_foo_bar``
+    (process.py:218), first-class keys dropped. Pure JVM map transform."""
+    entries = F.map_entries(headers)
+    norm = F.transform(
+        entries,
+        lambda e: F.struct(
+            F.regexp_replace(F.lower(e["key"]), "-", "_").alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    excluded = F.array(*[F.lit(k) for k in _SPILL_EXCLUDED])
+    kept = F.filter(
+        norm,
+        lambda e: e["key"].startswith("warc_") & ~F.array_contains(excluded, e["key"]),
+    )
+    return F.map_from_entries(kept)
+
+
+def http_date_iso(http_headers):
+    """HTTP ``Date`` header → ISO-8601 (process.py:213-216: date_parse →
+    isoformat; meta_index.py ``http_date`` is date_time_no_millis). RFC-1123
+    parse is JVM-side to_timestamp; unparseable → null (the reference logs
+    and nulls too)."""
+    raw = F.element_at(http_headers, F.lit("Date"))
+    # RFC-1123 dates are always GMT, and the leading day name is redundant —
+    # Spark's modern parser refuses day-of-week fields on parse, so strip it
+    stripped = F.regexp_replace(raw, r"^[A-Za-z]{3}, ", "")
+    ts = F.to_timestamp(stripped, "dd MMM yyyy HH:mm:ss 'GMT'")
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+
 def meta_docs(proc: DataFrame, always_index_meta: bool = False) -> DataFrame:
     """Meta-index projection (create_metadata, process.py:198-235). Kept iff
-    payload survived or always_index_meta (process.py:193-195)."""
+    payload survived or always_index_meta (process.py:193-195). When the
+    input carries WARC/HTTP header maps (warc_source ingest path), the
+    ``warc_*`` spill map and parsed ``http_date`` are surfaced
+    (meta_index.py:28-52 dynamic-template parity)."""
     keep = F.lit(True) if always_index_meta else (F.col("doc.skip_reason") == "")
     cols = [F.col("doc.idx_id").alias("idx_id")] + [
         (F.col("url") if c == "warc_target_uri" else F.col(f"doc.{c}")).alias(c)
         for c in META_COLUMNS
     ]
+    if "warc_headers" in proc.columns:
+        cols.append(warc_header_spill(F.col("warc_headers")).alias("warc_headers"))
+    if "http_headers" in proc.columns:
+        cols.append(http_date_iso(F.col("http_headers")).alias("http_date"))
     return proc.where(keep).select(*cols)
 
 

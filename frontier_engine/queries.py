@@ -964,9 +964,15 @@ def embedding_norms(spark, sf_dir):
 # Search-side analyzers + scoring (ES config parity, SURVEY §2.10)
 # =========================================================================
 
+def _cc_tld_sql_list() -> str:
+    from frontier_engine.analyzers import CC_TLD_STOPWORDS
+
+    return "[" + ",".join(f"'{s}'" for s in CC_TLD_STOPWORDS) + "]"
+
+
 @q(
     "host_analyzer",
-    """
+    f"""
     SELECT event_id,
            array_to_string(list_sort(list_filter(
              string_split_regex(
@@ -974,10 +980,7 @@ def embedding_norms(spark, sf_dir):
                               '^www\\d*\\.', ''),
                '[^a-z0-9]+'),
              x -> len(x) > 0 AND NOT list_contains(
-               ['ac','ad','ae','at','au','be','br','ca','ch','cn','co','com','cz','de','dk',
-                'edu','es','eu','fi','fr','gov','gr','hk','hu','ie','il','in','info','io','it',
-                'jp','kr','mx','net','nl','no','nz','org','pl','pt','ro','ru','se','sg','tr',
-                'tw','ua','uk','us'], x))), ',') AS host_toks
+               {_cc_tld_sql_list()}, x))), ',') AS host_toks
     FROM events WHERE event_id < 500
     """,
 )
@@ -992,6 +995,90 @@ def host_analyzer(spark, sf_dir):
     )
     return e.select(
         "event_id", F.array_join(F.array_sort(host_tokens(host)), ",").alias("host_toks")
+    )
+
+
+@q(
+    "meta_header_spill",
+    """
+    SELECT doc_id, k, v,
+           strftime(make_timestamp((1704067200 + doc_id) * 1000000),
+                    '%Y-%m-%dT%H:%M:%S') || 'Z' AS http_date
+    FROM (
+      SELECT doc_id, 'warc_ip_address' AS k,
+             '10.0.' || (doc_id % 256)::varchar || '.1' AS v FROM documents
+      UNION ALL
+      SELECT doc_id, 'warc_protocol',
+             CASE WHEN doc_id % 2 = 0 THEN 'http/1.1' ELSE 'h2' END FROM documents)
+    """,
+)
+def meta_header_spill(spark, sf_dir):
+    """``warc_*`` dynamic-template spill + HTTP Date → ISO
+    (conf/meta_index.py:28-52, process.py:213-218): a deterministic header
+    map per doc runs through the engine's spill transform — first-class and
+    non-warc_ keys dropped, surviving keys normalized — and the RFC-1123
+    Date header parses to ISO-8601. Map exploded to (k, v) rows for
+    order-insensitive hashability."""
+    from frontier_engine.pipeline import http_date_iso, warc_header_spill
+
+    d = load(spark, sf_dir, "documents")
+    hdr = F.create_map(
+        F.lit("WARC-Record-ID"),
+        F.concat(F.lit("<urn:uuid:"), F.col("doc_id").cast("string"), F.lit(">")),
+        F.lit("WARC-IP-Address"),
+        F.concat(F.lit("10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".1")),
+        F.lit("WARC-Protocol"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http/1.1")).otherwise(F.lit("h2")),
+        F.lit("X-Hop-Path"),  # non-warc_ key: must be dropped by the spill
+        F.lit("L"),
+        F.lit("WARC-Date"),  # first-class meta column: dropped too
+        F.lit("2024-01-01T00:00:00Z"),
+    )
+    http = F.create_map(
+        F.lit("Date"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+            "EEE, dd MMM yyyy HH:mm:ss 'GMT'",
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(warc_header_spill(hdr)),
+        http_date_iso(http).alias("http_date"),
+    ).withColumnsRenamed({"key": "k", "value": "v"})
+
+
+def _lang_chain_dispatch_sql() -> str:
+    from frontier_engine import analyzers as A
+
+    return A.dispatch_chain_sql("__tok", "lang", sorted(A.STEM_RULES))
+
+
+@q(
+    "lang_analyzer_chain",
+    f"""
+    SELECT doc_id, lang, term, count(*) AS n FROM (
+      SELECT doc_id, lang, {_lang_chain_dispatch_sql()} AS term FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(text, '[^\\p{{L}}\\p{{Nd}}'']+')) AS __tok
+        FROM documents) WHERE length(__tok) > 0)
+    WHERE length(term) > 0
+    GROUP BY 1, 2, 3
+    """,
+)
+def lang_analyzer_chain(spark, sf_dir):
+    """Per-language analyzer chains (data_index.py:725-976): tokenize →
+    lower → [elision] → [minimal/light stemmer] → accent fold, dispatched on
+    the document's lang. The chain is ONE generated SQL expression shared
+    verbatim by this query and its DuckDB oracle (analyzers.chain_sql) —
+    all JVM-side, zero Python in the loop."""
+    from frontier_engine.analyzers import analyze_text
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        analyze_text(d, "text", "lang", ["doc_id"])
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -1077,6 +1164,125 @@ def bm25_scoring(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     scores = bm25_scores(d, ["spark", "window", "query"])
     return scores.select("doc_id", F.floor(F.col("bm25") * 10000).cast("long").alias("bm25_e4"))
+
+
+_SIM_TERMS = ("spark", "window", "query")
+
+
+def _sim_sql(term_score: str) -> str:
+    """Shared oracle prelude for the legacy similarities
+    (create_index_kibana.txt:7-39): tf / dl / per-term df+ttf / corpus
+    stats, then Σ_t {term_score} per doc, floored to e4.
+    Available names: tf.tf, dl.dl, ts.df, ts.ttf, and scalars
+    (SELECT n FROM stats), (SELECT avgdl FROM stats), (SELECT total FROM stats)."""
+    terms = ", ".join(f"'{t}'" for t in _SIM_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> len(x) > 0)) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl,
+                     (SELECT sum(dl) FROM dl) AS total),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    ts AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks
+           WHERE term IN ({terms}) GROUP BY term)
+    SELECT tf.doc_id, cast(floor(sum({term_score}) * 10000) AS bigint) AS score_e4
+    FROM tf JOIN ts USING (term) JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id
+    """
+
+
+def _sim_out(scores: DataFrame, col: str) -> DataFrame:
+    return scores.select(
+        "doc_id", F.floor(F.col(col) * 10000).cast("long").alias("score_e4")
+    )
+
+
+@q(
+    "lmj_scoring",
+    _sim_sql(
+        "ln(1 + ((1 - 0.1) * tf.tf / dl.dl) / (0.1 * ts.ttf / (SELECT total FROM stats)))"
+    ),
+)
+def lmj_scoring(spark, sf_dir):
+    """LMJelinekMercer similarity (create_index_kibana.txt:8-10)."""
+    from frontier_engine.analyzers import lm_jelinek_mercer_scores
+
+    d = load(spark, sf_dir, "documents")
+    return _sim_out(lm_jelinek_mercer_scores(d, list(_SIM_TERMS)), "lmj")
+
+
+@q(
+    "dfr_scoring",
+    _sim_sql(
+        "(log2(1 + (ts.ttf + 1.0) / ((SELECT n FROM stats) + ts.ttf + 1.0))"
+        " + (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+        "   * log2((1 + (ts.ttf + 1.0) / ((SELECT n FROM stats) + ts.ttf + 1.0))"
+        "          / ((ts.ttf + 1.0) / ((SELECT n FROM stats) + ts.ttf + 1.0))))"
+        " / (1 + tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+    ),
+)
+def dfr_scoring(spark, sf_dir):
+    """DFR g/l/h2 similarity (create_index_kibana.txt:14-19)."""
+    from frontier_engine.analyzers import dfr_glh2_scores
+
+    d = load(spark, sf_dir, "documents")
+    return _sim_out(dfr_glh2_scores(d, list(_SIM_TERMS)), "dfr")
+
+
+@q(
+    "dfi_scoring",
+    _sim_sql(
+        "CASE WHEN tf.tf > ts.ttf * dl.dl / (SELECT total FROM stats)"
+        " THEN log2(1 + (tf.tf - ts.ttf * dl.dl / (SELECT total FROM stats))"
+        "            * (tf.tf - ts.ttf * dl.dl / (SELECT total FROM stats))"
+        "            / (ts.ttf * dl.dl / (SELECT total FROM stats)))"
+        " ELSE 0.0 END"
+    ),
+)
+def dfi_scoring(spark, sf_dir):
+    """DFI chisquared similarity (create_index_kibana.txt:29-32)."""
+    from frontier_engine.analyzers import dfi_chisquared_scores
+
+    d = load(spark, sf_dir, "documents")
+    return _sim_out(dfi_chisquared_scores(d, list(_SIM_TERMS)), "dfi")
+
+
+@q(
+    "ib_scoring",
+    _sim_sql(
+        "-log2((pow((ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0),"
+        "           (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+        "           / (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl) + 1))"
+        "       - (ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0))"
+        "      / (1 - (ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0)))"
+    ),
+)
+def ib_scoring(spark, sf_dir):
+    """IB spl/ttf/h2 similarity (create_index_kibana.txt:33-38)."""
+    from frontier_engine.analyzers import ib_spl_scores
+
+    d = load(spark, sf_dir, "documents")
+    return _sim_out(ib_spl_scores(d, list(_SIM_TERMS)), "ib")
+
+
+@q(
+    "scripted_tfidf_scoring",
+    _sim_sql(
+        "(ln(((SELECT n FROM stats) + 1.0) / (ts.df + 1.0)) + 1.0)"
+        " * sqrt(tf.tf) / sqrt(dl.dl)"
+    ),
+)
+def scripted_tfidf_scoring(spark, sf_dir):
+    """Scripted TF-IDF similarity, painless source transcribed
+    (create_index_kibana.txt:20-28)."""
+    from frontier_engine.analyzers import scripted_tfidf_scores
+
+    d = load(spark, sf_dir, "documents")
+    return _sim_out(scripted_tfidf_scores(d, list(_SIM_TERMS)), "tfidf")
 
 
 @q(
