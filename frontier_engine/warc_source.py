@@ -12,12 +12,17 @@ Parity with the reference's ReadWarcs/_ReadWarc splittable source
 - record-type filter (``response``, index.py:142) and overlong-payload
   strip (warcio.py:150-154) as options.
 
-Scale note (why per-file tasks are acceptable here): WARC members are
-gzip-framed per record, so true byte-range splitting needs a member index;
-the reference solves it with a custom splittable DoFn. Our production path
-is the pages *table* (columnar, natively splittable — SURVEY.md §1.1);
-this source exists for ingest parity, where per-file parallelism (100k+
-files at crawl scale) already saturates any cluster.
+Two read paths:
+- ``read_warcs``        — one task per file (fine at crawl scale: 100k+
+  files saturate any cluster),
+- ``read_warcs_split``  — intra-file byte-range splitting (_ReadWarc
+  splittable-DoFn parity, warcio.py:72-177): an index pass finds gzip
+  member / record start offsets, files explode into (path, start, end)
+  ranges, each task seek-reads only its range. A user with a few huge
+  WARCs gets full parallelism; records (incl. absolute source_offset)
+  are identical to the per-file path.
+The production bulk path remains the pages *table* (columnar, natively
+splittable — SURVEY.md §1.1).
 """
 
 from __future__ import annotations
@@ -46,27 +51,67 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
-def parse_warc_stream(data: bytes, source_file: str, max_payload: Optional[int] = None):
+def iter_warc_chunks(data: bytes):
+    """Yield ``(compressed_offset, plain_bytes)`` chunks of a WARC byte
+    stream: one chunk per gzip member (CC convention: one record per
+    member), or a single chunk for a plain file. The compressed offset is
+    the reference's ``stream_pos`` (warcio.py:111-118): stable under both
+    whole-file and byte-range split reads."""
+    if data[:2] != b"\x1f\x8b":
+        yield 0, data
+        return
+    import zlib
+
+    pos, n = 0, len(data)
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        i = pos
+        CHUNK = 1 << 20
+        while i < n and not d.eof:
+            out.append(d.decompress(data[i : i + CHUNK]))
+            i += CHUNK
+        if not d.eof:
+            break  # truncated trailing member: drop (lenient)
+        end = min(i, n) - len(d.unused_data)
+        yield pos, b"".join(out)
+        pos = end
+
+
+def member_offsets(data: bytes) -> list[int]:
+    """Split-point index for one WARC file (the reference's restriction
+    tracker bootstrap, warcio.py:72-80): gzip member starts, or plain-file
+    record starts (``WARC/`` magic at 0 or after a blank line)."""
+    if data[:2] == b"\x1f\x8b":
+        return [off for off, _ in iter_warc_chunks(data)]
+    offs = []
+    pos = 0
+    while True:
+        m = data.find(b"WARC/", pos)
+        if m == -1:
+            break
+        if m == 0 or data[max(0, m - 4) : m] in (b"\r\n\r\n", b"\n\n\r\n") or data[m - 2 : m] == b"\n\n":
+            offs.append(m)
+        pos = m + 5
+    return offs
+
+
+def parse_warc_stream(data: bytes, source_file: str, max_payload: Optional[int] = None,
+                      offset_bias: int = 0):
     """Iterate WARC records from (possibly gzip'd) bytes.
 
-    Yields dicts in RECORD_SCHEMA shape. Header parsing is lenient the way
-    the reference's ClueWeb repair tool is (util.py:128-143): bad header
-    lines are skipped, missing Content-Length ends the record at the next
-    WARC/ magic.
+    Yields dicts in RECORD_SCHEMA shape; ``source_offset`` is the record's
+    byte position in the file (compressed member offset for gzip —
+    reference stream_pos parity), plus ``offset_bias`` for split reads.
+    Header parsing is lenient the way the reference's ClueWeb repair tool
+    is (util.py:128-143): bad header lines are skipped, missing
+    Content-Length ends the record at the next WARC/ magic.
     """
     if data[:2] == b"\x1f\x8b":
-        # multi-member gzip: decompress all members
-        buf = io.BytesIO(data)
-        chunks = []
-        while True:
-            try:
-                g = gzip.GzipFile(fileobj=buf)
-                chunks.append(g.read())
-            except (EOFError, OSError):
-                break
-            if buf.tell() >= len(data):
-                break
-        data = b"".join(chunks)
+        for comp_off, plain in iter_warc_chunks(data):
+            yield from parse_warc_stream(plain, source_file, max_payload,
+                                         offset_bias=offset_bias + comp_off)
+        return
 
     pos = 0
     n = len(data)
@@ -119,7 +164,7 @@ def parse_warc_stream(data: bytes, source_file: str, max_payload: Optional[int] 
             truncated = True
         yield {
             "source_file": source_file,
-            "source_offset": record_start,
+            "source_offset": offset_bias + record_start,
             "record_type": headers.get("WARC-Type"),
             "record_id": headers.get("WARC-Record-ID"),
             "warc_headers": headers,
@@ -160,6 +205,87 @@ def read_warcs(
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(extract, RECORD_SCHEMA)
+
+
+SPLIT_SCHEMA = "path string, start long, end long"
+
+
+def _local_path(path: str) -> str:
+    """file:-URI → filesystem path (sandbox is local-FS; an object-store
+    deployment swaps in the FS client here)."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def plan_warc_splits(spark: SparkSession, glob: str,
+                     target_split_bytes: int = 32 << 20) -> DataFrame:
+    """Index pass (splittable-DoFn parity, warcio.py:72-80): per file, find
+    member/record start offsets and coalesce consecutive members into
+    ~target_split_bytes byte ranges → (path, start, end) split rows.
+
+    Cost note: gzip offers no random access, so indexing decompresses each
+    file once — the same price the reference's restriction tracker pays to
+    resync on record boundaries. The index is tiny (one row per ~32 MB) and
+    cacheable; re-ingest runs read only their ranges."""
+    files = spark.read.format("binaryFile").load(glob).select("path")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                with open(_local_path(p), "rb") as f:
+                    data = f.read()
+                offs = member_offsets(data)
+                if not offs:
+                    continue
+                bounds = offs + [len(data)]
+                start = bounds[0]
+                for a, b in zip(bounds, bounds[1:]):
+                    if b - start >= target_split_bytes or b == bounds[-1]:
+                        rows.append({"path": p, "start": start, "end": b})
+                        start = b
+            yield pd.DataFrame(rows, columns=["path", "start", "end"])
+
+    return files.mapInPandas(index, SPLIT_SCHEMA)
+
+
+def read_warcs_split(
+    spark: SparkSession,
+    glob: str,
+    record_types: tuple[str, ...] = ("response",),
+    max_payload: int = 1024 * 1024,
+    target_split_bytes: int = 32 << 20,
+    parallelism: Optional[int] = None,
+) -> DataFrame:
+    """Splittable WARC read (_ReadWarc byte-range parity, warcio.py:72-177):
+    index pass → explode files into (path, start, end) ranges → range
+    seek+read+parse per task. A few huge WARCs now parallelize across the
+    cluster instead of one task per file; records are identical to
+    ``read_warcs`` including absolute ``source_offset``."""
+    splits = plan_warc_splits(spark, glob, target_split_bytes)
+    splits = splits.repartition(
+        parallelism or spark.sparkContext.defaultParallelism, "path", "start"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RECORD_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                with open(_local_path(r.path), "rb") as f:
+                    f.seek(r.start)
+                    chunk = f.read(r.end - r.start)
+                for rec in parse_warc_stream(chunk, r.path, max_payload,
+                                             offset_bias=int(r.start)):
+                    if record_types and rec["record_type"] not in record_types:
+                        continue
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return splits.mapInPandas(extract, RECORD_SCHEMA)
 
 
 def warc_records_to_pages(records: DataFrame) -> DataFrame:
