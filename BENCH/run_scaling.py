@@ -42,6 +42,11 @@ def _cpu_ticks() -> tuple[int, int]:
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
+def _shm_used_mb() -> int:
+    st = os.statvfs("/dev/shm")
+    return int((st.f_blocks - st.f_bfree) * st.f_frsize / 1e6)
+
+
 def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -> dict:
     store = tempfile.mkdtemp(prefix=f"scale_store_{cores}_")
     zip_dir = tempfile.mkdtemp(prefix="pyfiles_")
@@ -50,6 +55,13 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
     )
     spark_submit = shutil.which("spark-submit")
     taskset = shutil.which("taskset")
+    # Per-run UNIQUE shuffle dir, removed afterwards: a shared
+    # /dev/shm/spark_local accumulates stale shuffle files across runs,
+    # and tmpfs bytes are RAM — leftovers evict the input parquet from the
+    # page cache and silently slow every LATER run (the r1 evidence showed a
+    # 2.2x spread at local[16] with run 0 fast and run 1 slow — consistent
+    # with exactly this).
+    local_dir = tempfile.mkdtemp(prefix=f"shuf_{cores}_", dir="/dev/shm")
     job = os.path.join(REPO, "frontier_engine", "jobs", "frontier_job.py")
     job_args = [
         job,
@@ -76,12 +88,14 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
-            "--conf", "spark.local.dir=/dev/shm/spark_local",
+            "--conf", f"spark.local.dir={local_dir}",
             "--py-files", zip_path,
         ] + job_args
     else:  # fallback: plain python (session built in-job)
         cmd = pin + [sys.executable] + job_args
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=REPO, FRONTIER_SHM_TMP="1")
+    shm_before = _shm_used_mb()
+    load_before = os.getloadavg()[0]
     tot0, steal0 = _cpu_ticks()
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
@@ -90,6 +104,7 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
     steal_pct = 100.0 * (steal1 - steal0) / max(1, tot1 - tot0)
     shutil.rmtree(store, ignore_errors=True)
     shutil.rmtree(zip_dir, ignore_errors=True)
+    shutil.rmtree(local_dir, ignore_errors=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
@@ -98,6 +113,8 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
     res["wall_incl_startup"] = round(wall, 1)
     res["via_spark_submit"] = bool(spark_submit)
     res["steal_pct"] = round(steal_pct, 2)
+    res["shm_used_mb_before"] = shm_before
+    res["loadavg_before"] = round(load_before, 2)
     return res
 
 
@@ -107,7 +124,7 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=120000)
     ap.add_argument("--budget", type=int, default=1500)
     ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     # ~30 KB html/page (Common-Crawl-realistic; lighter pages understate the
     # parallel fraction relative to the per-round scheduling floor)
     ap.add_argument("--paras", type=int, default=100)
@@ -136,14 +153,16 @@ def main() -> None:
     shutil.rmtree(data_dir, ignore_errors=True)
 
     lo, hi = args.levels
-    # best-of-N: external steal only ever slows a run down, so the fastest
-    # run per level is the least-contaminated estimate of true capability
+    # MEDIAN is the headline (BASELINE.md protocol): robust to co-tenant
+    # noise without the cherry-pick risk of best-of. Best-of shown for
+    # context only.
     thr_lo = max(r["urls_per_sec"] for r in results[lo])
     thr_hi = max(r["urls_per_sec"] for r in results[hi])
     med_lo = statistics.median(r["urls_per_sec"] for r in results[lo])
     med_hi = statistics.median(r["urls_per_sec"] for r in results[hi])
-    eff = thr_hi / (thr_lo * (hi / lo))
-    eff_med = med_hi / (med_lo * (hi / lo))
+    eff_best = thr_hi / (thr_lo * (hi / lo))
+    eff = med_hi / (med_lo * (hi / lo))
+    spread_hi = thr_hi / min(r["urls_per_sec"] for r in results[hi])
     md = f"""# BENCH/BASELINE.md — scaling evidence (BASELINE.md protocol)
 
 Same frontier job ({args.rounds} rounds), same deterministic input
@@ -155,17 +174,21 @@ writers, GC, python workers) compete inside the level's CPU budget at both
 levels — as they would on a real N-core executor node.
 Sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 
-The sandbox VM experiences bursty co-tenant CPU steal (per-run steal%
-recorded below); steal only slows runs, so best-of-N is the
-least-contaminated capability estimate, with median shown alongside.
+{args.runs} runs per level, interleaved (lo,hi,lo,hi,…). Each run gets a
+fresh unique tmpfs shuffle dir, removed afterwards (a shared dir let stale
+shuffle files accumulate in RAM and evict the input from page cache — the
+suspected cause of the r1 2.2x spread at local[16]). Per-run steal%,
+loadavg and tmpfs occupancy are recorded in the raw JSON below.
 
-| level | runs urls/sec (steal%) | best | median |
+| level | runs urls/sec (steal%) | median (HEADLINE) | best |
 |---|---|---|---|
-| local[{lo}] (N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[lo])} | {thr_lo} | {med_lo} |
-| local[{hi}] (4N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[hi])} | {thr_hi} | {med_hi} |
+| local[{lo}] (N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[lo])} | {med_lo} | {thr_lo} |
+| local[{hi}] (4N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[hi])} | {med_hi} | {thr_hi} |
 
-**Scaling efficiency (best-of-N)** = thr{hi} / ({hi // lo} · thr{lo}) = **{eff:.3f}**
-(median-based: {eff_med:.3f}; target ≥ 0.8 per BASELINE.json).
+**Scaling efficiency (median, n={args.runs}/level)** =
+median(thr{hi}) / ({hi // lo} · median(thr{lo})) = **{eff:.3f}**
+(best-of for context: {eff_best:.3f}; max/min spread at local[{hi}]:
+{spread_hi:.2f}x; target ≥ 0.8 per BASELINE.json).
 
 Raw: {json.dumps({str(k): v for k, v in results.items()})}
 """

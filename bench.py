@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "ann_cosine_threshold",
     "ann_topk_per_label",
+    "dup_clusters",
+    "kmeans_clusters",
+    "ann_ivf_probe",
 ]
 
 FRONTIER_PAGES = int(os.environ.get("BENCH_FRONTIER_PAGES", "30000"))

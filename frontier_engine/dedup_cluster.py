@@ -1,0 +1,80 @@
+"""Duplicate-cluster resolution: connected components over near-dup edges.
+
+The LSH / exact-Jaccard stages (queries.py) emit candidate PAIRS; a
+training-data pipeline needs per-document CLUSTER ids so one canonical
+document survives per duplicate group (A~B and B~C must collapse A,B,C
+together even though (A,C) was never emitted as a pair). That closure is
+connected components — the step the reference delegates to its
+Elasticsearch dedup tooling downstream; here it is a first-class operator.
+
+Algorithm: hash-to-min label propagation (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13 —
+public algorithm). Each node carries a label (initially itself); each
+round every node takes the min of its own and its neighbors' labels.
+Converges in O(diameter) rounds — near-dup clusters are dense and
+shallow (diameter ≲ 3 via their shared-bucket star edges), so 3-5 rounds
+settle real corpora; ``max_iter`` bounds pathological chains.
+
+Scale notes (the parts that survive 100×):
+- edges are STARS (member → bucket-min), linear in bucket size — never
+  the k² pair expansion of a bucket,
+- each round is one shuffle (edge join on label key) + one map-side-
+  combinable min-agg; AQE handles hot buckets (boilerplate clusters),
+- labels are ``localCheckpoint``-ed every round: iterative joins
+  otherwise stack lineage and replan O(i²),
+- convergence test rides the same job as the label update (count of
+  changed labels), one action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Label every node with min node-id reachable in its component.
+
+    ``nodes``: one column ``id``; ``edges``: columns ``a``, ``b``
+    (undirected semantics; pass each pair once). Returns (id, cluster_id).
+    """
+    und = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy(und["a"].alias("id"))
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+                (F.col("nbr") < F.col("cluster_id")).alias("_changed"),
+            )
+            .localCheckpoint()  # truncate lineage before the convergence action
+        )
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def lsh_star_edges(bands: DataFrame) -> DataFrame:
+    """Near-dup edges from LSH band buckets as stars: every bucket member
+    links to the bucket's min doc_id. Linear in bucket size (k-1 edges for
+    a k-doc bucket, not k²) and component-equivalent to the full clique."""
+    roots = bands.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        bands.join(roots, ["band", "bucket"])
+        .where((F.col("n") > 1) & (F.col("doc_id") != F.col("root")))
+        .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
+        .distinct()
+    )

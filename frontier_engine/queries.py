@@ -754,6 +754,52 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE
+    sig AS (
+      SELECT doc_id,
+             min(md5(tok || '#0')) AS mh0, min(md5(tok || '#1')) AS mh1,
+             min(md5(tok || '#2')) AS mh2, min(md5(tok || '#3')) AS mh3
+      FROM ({_TOK_SQL}) GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 || mh3 AS bucket FROM sig),
+    roots AS (SELECT band, bucket, min(doc_id) AS root, count(*) AS n
+              FROM bands GROUP BY band, bucket),
+    edges AS (
+      SELECT DISTINCT b.doc_id AS a, r.root AS b
+      FROM bands b JOIN roots r ON b.band = r.band AND b.bucket = r.bucket
+      WHERE r.n > 1 AND b.doc_id <> r.root),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.a, r.lbl FROM reach r JOIN und u ON u.b = r.node)
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ids: LSH band buckets → star edges → connected
+    components (hash-to-min, dedup_cluster.py). Pairs alone can't pick one
+    keeper per duplicate group — transitive closure can. The oracle computes
+    the same components via a recursive CTE over identical edges."""
+    from frontier_engine.dedup_cluster import connected_components, lsh_star_edges
+
+    sig = minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.concat("mh0", "mh1").alias("bucket")
+    ).unionByName(
+        sig.select("doc_id", F.lit(1).alias("band"), F.concat("mh2", "mh3").alias("bucket"))
+    )
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    labels = connected_components(nodes, lsh_star_edges(bands))
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def _simhash_exprs_sql() -> str:
     bits = []
     for j in range(1, 17):
@@ -958,6 +1004,109 @@ def embedding_norms(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return emb.select("vec_id", F.round(l2_norm_col(F.col("embedding")), 4).alias("l2"))
+
+
+_KMEANS_K = 4
+
+# k-means unrolled to 2 Lloyd iterations as SQL CTEs (the oracle mirror of
+# simsearch.kmeans_lloyd's static plan): positional explode → assignment
+# (argmin Σ(val−cval)² with cluster tie-break) → centroid avg, twice.
+_KMEANS_CTES = f"""
+    pos AS (SELECT vec_id, r.range::int AS pos, embedding[r.range + 1]::double AS val
+            FROM embeddings, range(0, 64) r WHERE vec_id <> 0),
+    cent0 AS (SELECT vec_id AS cluster, pos, val AS cval FROM pos
+              WHERE vec_id BETWEEN 1 AND {_KMEANS_K}),
+    d1 AS (SELECT p.vec_id, c.cluster, sum((p.val - c.cval) * (p.val - c.cval)) AS d2
+           FROM pos p JOIN cent0 c ON c.pos = p.pos GROUP BY p.vec_id, c.cluster),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+             FROM d1) t WHERE rn = 1),
+    cent1 AS (SELECT a.cluster, p.pos, avg(p.val) AS cval
+              FROM pos p JOIN a1 a ON a.vec_id = p.vec_id GROUP BY a.cluster, p.pos),
+    d2_ AS (SELECT p.vec_id, c.cluster, sum((p.val - c.cval) * (p.val - c.cval)) AS d2
+            FROM pos p JOIN cent1 c ON c.pos = p.pos GROUP BY p.vec_id, c.cluster),
+    a2 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+             FROM d2_) t WHERE rn = 1),
+    cent2 AS (SELECT a.cluster, p.pos, avg(p.val) AS cval
+              FROM pos p JOIN a2 a ON a.vec_id = p.vec_id GROUP BY a.cluster, p.pos)
+"""
+
+
+@q(
+    "kmeans_clusters",
+    f"""
+    WITH {_KMEANS_CTES}
+    SELECT c.cluster, n.n_vecs, round(sqrt(sum(c.cval * c.cval)), 4) AS centroid_l2
+    FROM cent2 c JOIN (SELECT cluster, count(*) AS n_vecs FROM a2 GROUP BY cluster) n
+      ON n.cluster = c.cluster
+    GROUP BY c.cluster, n.n_vecs
+    """,
+)
+def kmeans_clusters(spark, sf_dir):
+    """IVF coarse quantizer: deterministic Lloyd's k-means (k=4, 2 unrolled
+    iterations, seeds = k smallest vec_ids — simsearch.kmeans_lloyd). Output
+    = per-cluster size + centroid L2 norm."""
+    from frontier_engine.simsearch import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, cent = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    norms = cent.groupBy("cluster").agg(
+        F.round(F.sqrt(F.sum(F.col("cval") * F.col("cval"))), 4).alias("centroid_l2")
+    )
+    return norms.join(sizes, "cluster").select("cluster", "n_vecs", "centroid_l2")
+
+
+@q(
+    "ann_ivf_probe",
+    f"""
+    WITH {_KMEANS_CTES},
+    qpos AS (SELECT r.range::int AS pos, embedding[r.range + 1]::double AS val
+             FROM embeddings, range(0, 64) r WHERE vec_id = 0),
+    probe AS (SELECT cluster FROM (
+                SELECT c.cluster,
+                       row_number() OVER (
+                         ORDER BY sum((q.val - c.cval) * (q.val - c.cval)), c.cluster) AS rn
+                FROM qpos q JOIN cent2 c ON c.pos = q.pos GROUP BY c.cluster) t
+              WHERE rn = 1),
+    qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+      FROM embeddings e
+      JOIN a2 a ON a.vec_id = e.vec_id
+      JOIN probe p ON p.cluster = a.cluster
+      CROSS JOIN qv q)
+    SELECT vec_id, cos FROM (
+      SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+      FROM scored) t WHERE rn <= 3
+    """,
+)
+def ann_ivf_probe(spark, sf_dir):
+    """End-to-end IVF ANN: train the coarse quantizer (kmeans_lloyd), probe
+    the query's nearest centroid, brute-force cosine top-3 INSIDE that one
+    cluster — the corpus outside the probed cluster is never scored (the
+    100 TB path: nprobe·(n/k) of the corpus touched instead of n). Ordering
+    on the ROUNDED cosine + vec_id tie-break keeps the top-3 engine-portable."""
+    from frontier_engine.simsearch import cosine_to_query, ivf_probe_cluster, kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    assign, cent = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+    probe = ivf_probe_cluster(qv, cent)
+    members = emb.join(assign, "vec_id").join(F.broadcast(probe), "cluster")
+    scored = cosine_to_query(members, qv)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "cos")
+    )
 
 
 # =========================================================================

@@ -78,6 +78,69 @@ def lsh_sign_buckets_df(emb: DataFrame, n_bits: int = 8, dim: int = 64) -> DataF
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
+def _pos_explode(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding) → (id, pos, val) position-exploded doubles. The
+    positional form makes every k-means step a plain equi-join + agg —
+    no array UDFs, fully codegen'd, and expressible 1:1 in the oracle SQL."""
+    return emb.select(
+        id_col, F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def kmeans_lloyd(emb: DataFrame, k: int = 4, iters: int = 2) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over an embedding column, unrolled to a
+    STATIC plan (``iters`` is small and fixed — the classic IVF coarse
+    quantizer needs 2-5 refinement passes, not convergence loops).
+
+    Init: the k smallest non-zero vec_ids seed the centroids (cluster label
+    = seed vec_id) — deterministic, no RNG, engine-portable. Each iteration:
+    - assignment: corpus ⋈ centroids on ``pos`` (centroids broadcast — k·dim
+      rows), partial-agg Σ(val−cval)² per (vec, cluster), row_number argmin
+      with cluster-id tie-break,
+    - update: corpus ⋈ assignment on vec_id, avg per (cluster, pos).
+    At 100 TB: the corpus never shuffles for assignment (broadcast join +
+    map-side partial agg on vec_id, which parquet bucketing can pre-group);
+    only the tiny (cluster, pos) update agg crosses the wire.
+
+    Returns (assign: vec_id→cluster, centroids: cluster, pos, val).
+    """
+    pos = _pos_explode(emb.where(F.col("vec_id") != 0))
+    cent = pos.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("val").alias("cval")
+    )
+    assign = None
+    for _ in range(iters):
+        d2 = (
+            pos.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cent = (
+            pos.join(assign, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("cval"))
+        )
+    return assign, cent
+
+
+def ivf_probe_cluster(query: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid to the query vector (one-row DataFrame, column
+    ``qv``): the IVF probe step. Returns a one-row (cluster) DataFrame."""
+    qpos = _pos_explode(query.select(F.col("qv").alias("embedding")).withColumn("vec_id", F.lit(-1)))
+    d2 = (
+        qpos.join(F.broadcast(cent), "pos")
+        .groupBy("cluster")
+        .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d2"))
+    )
+    w = Window.orderBy("d2", "cluster")
+    return d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("cluster")
+
+
 def ann_lsh_candidates(emb: DataFrame, query: DataFrame, n_bits: int = 8, dim: int = 64) -> DataFrame:
     """LSH-bucketed ANN: corpus and query sketched with the same planes;
     candidates = bucket-equality join (broadcast on the query side)."""
