@@ -114,8 +114,15 @@ def bm25_scores(
         F.col(id_col).alias("doc_id"), F.explode(text_tokens(F.col(text_col))).alias("term")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0] or 1.0
+    # ONE driver action for (N, avgdl): left join keeps token-less docs in N
+    # without skewing avgdl (avg ignores nulls — Lucene semantics)
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
 
     qt = [t.lower() for t in query_terms]
     tf = (
@@ -155,7 +162,8 @@ def lm_dirichlet_scores(
         F.col(id_col).alias("doc_id"), F.explode(text_tokens(F.col(text_col))).alias("term")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    total_terms = toks.count()
+    # Σ dl ≡ token count; one agg action instead of a second full toks scan
+    total_terms = int(dl.agg(F.sum("dl")).collect()[0][0] or 1)
     qt = [t.lower() for t in query_terms]
     cf = toks.where(F.col("term").isin(qt)).groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     tf = (
@@ -365,13 +373,20 @@ def cjk_bigram_tokens(text: Column) -> Column:
 
 def _term_stats(docs: DataFrame, query_terms: list[str], id_col: str, text_col: str):
     """Shared stats: (tf, dl, per-term df/ttf, N, avgdl, total_tokens).
-    One count job + ONE fused aggregate for (avgdl, total)."""
+    ONE fused driver action for (N, avgdl, total)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(text_tokens(F.col(text_col))).alias("term")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    row = dl.agg(F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")).collect()[0]
+    # ONE driver action for (N, avgdl, total); left join keeps token-less
+    # docs in N without skewing avgdl (avg ignores nulls)
+    row = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("total"))
+        .collect()[0]
+    )
+    n_docs = int(row["n"])
     avgdl, total = float(row["avgdl"] or 1.0), int(row["total"] or 1)
     qt = [t.lower() for t in query_terms]
     qtoks = toks.where(F.col("term").isin(qt))
