@@ -87,45 +87,82 @@ def _pos_explode(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
 
 
+def _assign_expr(centroids: list[tuple[int, list[float]]]):
+    """argmin-distance column over literal centroid arrays: for each
+    centroid, Σ(eᵢ−cᵢ)² via zip_with/aggregate (codegen'd, NO shuffle, no
+    Python); array_min over (d2, cluster) structs = argmin with cluster-id
+    tie-break (lexicographic struct ordering)."""
+    cands = []
+    for cid, vec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in vec])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), carr,
+                lambda a, c: (a.cast("double") - c) * (a.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("cluster")))
+    return F.array_min(F.array(*cands))
+
+
 def kmeans_lloyd(emb: DataFrame, k: int = 4, iters: int = 2) -> tuple[DataFrame, DataFrame]:
-    """Deterministic Lloyd's k-means over an embedding column, unrolled to a
-    STATIC plan (``iters`` is small and fixed — the classic IVF coarse
-    quantizer needs 2-5 refinement passes, not convergence loops).
+    """Deterministic Lloyd's k-means over an embedding column (IVF coarse
+    quantizer — small fixed ``iters``, not a convergence loop).
 
     Init: the k smallest non-zero vec_ids seed the centroids (cluster label
-    = seed vec_id) — deterministic, no RNG, engine-portable. Each iteration:
-    - assignment: corpus ⋈ centroids on ``pos`` (centroids broadcast — k·dim
-      rows), partial-agg Σ(val−cval)² per (vec, cluster), row_number argmin
-      with cluster-id tie-break,
-    - update: corpus ⋈ assignment on vec_id, avg per (cluster, pos).
-    At 100 TB: the corpus never shuffles for assignment (broadcast join +
-    map-side partial agg on vec_id, which parquet bucketing can pre-group);
-    only the tiny (cluster, pos) update agg crosses the wire.
+    = seed vec_id) — deterministic, no RNG, engine-portable.
 
-    Returns (assign: vec_id→cluster, centroids: cluster, pos, val).
+    Execution shape (the MLlib pattern — centroids are k·dim ≈ KBs, the
+    corpus is the 100 TB side, so centroids travel, the corpus doesn't):
+    - each iteration collects the centroids to the driver and embeds them
+      as LITERAL arrays; assignment is then a pure map: per-row
+      Σ(val−cval)² via zip_with/aggregate + array_min argmin (cluster-id
+      tie-break) — whole-stage-codegen'd, ZERO shuffle over the corpus,
+    - update: posexplode the assigned corpus → partial-agg avg per
+      (cluster, pos) — map-side combine collapses each task to ≤ k·dim
+      rows, so the only shuffle per iteration moves ~tasks·k·dim rows.
+
+    Returns (assign: vec_id→cluster, centroids: cluster, pos, cval) —
+    centroid positions as a DataFrame for downstream probe/norm queries.
     """
-    pos = _pos_explode(emb.where(F.col("vec_id") != 0))
-    cent = pos.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
-        F.col("vec_id").alias("cluster"), "pos", F.col("val").alias("cval")
+    corpus = emb.where(F.col("vec_id") != 0)
+    seeds = (
+        corpus.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    assign = None
+    cent = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    cent_used = cent  # centroids the final assignment was computed against
     for _ in range(iters):
-        d2 = (
-            pos.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d2"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        assign = (
-            d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-            .select("vec_id", "cluster")
-        )
-        cent = (
-            pos.join(assign, "vec_id")
+        cent_used = cent
+        # assignment + explode fused into ONE corpus pass (assignment is a
+        # pure expression — no join back, no second scan). Two projection
+        # steps because Spark's generator extraction drops struct field
+        # names when getField shares a select with posexplode; Catalyst
+        # collapses them back into one.
+        new_cent = (
+            corpus.select(_assign_expr(cent).getField("cluster").alias("cluster"), "embedding")
+            .select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .withColumn("val", F.col("val").cast("double"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("cval"))
+            .collect()
         )
-    return assign, cent
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_cent:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["cval"])
+        cent = [
+            (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cluster.items())
+        ]
+    assign = corpus.select(
+        "vec_id", _assign_expr(cent_used).getField("cluster").alias("cluster")
+    )
+    spark = emb.sparkSession
+    cent_rows = [(cid, p, v) for cid, vec in cent for p, v in enumerate(vec)]
+    cent_df = spark.createDataFrame(cent_rows, "cluster long, pos int, cval double")
+    return assign, cent_df
 
 
 def ivf_probe_cluster(query: DataFrame, cent: DataFrame) -> DataFrame:
