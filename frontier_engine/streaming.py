@@ -102,6 +102,52 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+THROTTLE_OUTPUT_DDL = "host string, url string, ts timestamp, allowed boolean"
+THROTTLE_STATE_DDL = "served bigint"
+
+
+def politeness_throttle_stream(candidates: DataFrame, budget_per_host: int) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``): a
+    per-host fetch budget enforced ACROSS micro-batches.
+
+    The batch scheduler (politeness.py) caps each round at budget/host; a
+    continuous ingest surface needs the same cap with state that survives
+    triggers — host h may get 3 candidates in batch 1 and 4 in batch 2, and
+    only ``budget_per_host`` total may pass. Built-in windowed aggs can't
+    express "first k per key ever, streaming", so this is the
+    applyInPandasWithState slot: state per host = URLs served so far.
+
+    Within a batch, candidates are admitted in (ts, url) order — the same
+    deterministic ordering the batch scheduler uses (politeness.py top-k),
+    so a replayed batch admits the same rows. Emits every candidate with an
+    ``allowed`` flag (audit-friendly; filter allowed=true for the fetch
+    side). Scale: state is one bigint per host, partitioned by the shuffle
+    on host — ~10^8 hosts × 8 B spreads across executors trivially.
+    """
+    import pandas as pd
+
+    def throttle(key, pdf_iter, state):
+        (host,) = key
+        served = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "url"], kind="mergesort")
+            room = max(budget_per_host - served, 0)
+            flags = [i < room for i in range(len(pdf))]
+            served += min(room, len(pdf))
+            yield pd.DataFrame(
+                {"host": host, "url": pdf["url"], "ts": pdf["ts"], "allowed": flags}
+            )
+        state.update((served,))
+
+    return candidates.groupBy("host").applyInPandasWithState(
+        throttle,
+        outputStructType=THROTTLE_OUTPUT_DDL,
+        stateStructType=THROTTLE_STATE_DDL,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming session windows (native session_window operator)."""
     return (

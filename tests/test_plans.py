@@ -129,3 +129,33 @@ class TestPlanShapes:
         plan = plan_of(urlseen.mark_maybe_seen(d, shards, 8))
         assert "FlatMapCoGroupsInPandas" in plan
         assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+class TestKmeansPlan:
+    def test_assignment_is_shuffle_free(self, spark):
+        """kmeans assignment must be a pure map over the corpus: literal
+        centroid arrays + zip_with/aggregate argmin, NO Exchange (the
+        MLlib shape — centroids travel, the 100 TB corpus doesn't)."""
+        from frontier_engine.simsearch import kmeans_lloyd
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        assign, _ = kmeans_lloyd(emb, k=4, iters=1)
+        plan = plan_of(assign)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_update_agg_is_partial(self, spark):
+        """The centroid update must map-side combine (partial_avg before the
+        exchange) so the only shuffle moves ~tasks*k*dim rows."""
+        from frontier_engine.simsearch import _assign_expr
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(F.col("vec_id") != 0)
+        cent = [(i, [0.0] * 64) for i in range(1, 5)]
+        upd = (
+            emb.select(_assign_expr(cent).getField("cluster").alias("cluster"), "embedding")
+            .select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        )
+        plan = plan_of(upd)
+        assert "partial_avg" in plan, plan

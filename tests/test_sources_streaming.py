@@ -293,3 +293,48 @@ class TestWarcSplitRead:
         assert len(offs) == 40 and offs[0] == 0
         # every offset points at a gzip magic
         assert all(data[o : o + 2] == b"\x1f\x8b" for o in offs)
+
+
+class TestPolitenessThrottleStream:
+    def test_budget_enforced_across_microbatches(self, spark, tmp_path):
+        import time
+
+        src = tmp_path / "cand"
+        src.mkdir()
+        rows1 = [("a.com", f"http://a.com/{i}", "2021-03-01 00:00:%02d" % i) for i in range(3)]
+        rows1 += [("b.com", "http://b.com/0", "2021-03-01 00:00:00")]
+        rows2 = [("a.com", f"http://a.com/x{i}", "2021-03-01 00:01:%02d" % i) for i in range(4)]
+        ddl = "host string, url string, ts string"
+        spark.createDataFrame(rows1, ddl).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.parquet(str(src / "f1"))
+        time.sleep(1.1)  # distinct mtimes → file source orders f1 before f2
+        spark.createDataFrame(rows2, ddl).withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.parquet(str(src / "f2"))
+
+        stream = (
+            spark.readStream.schema("host string, url string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        out = streaming.politeness_throttle_stream(stream, budget_per_host=5)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("throttled")
+            .option("checkpointLocation", str(tmp_path / "ck_thr"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("select * from throttled").collect()
+        assert len(got) == 8  # every candidate emitted with a flag
+        a_allowed = sorted(r.url for r in got if r.host == "a.com" and r.allowed)
+        a_denied = [r.url for r in got if r.host == "a.com" and not r.allowed]
+        # batch 1: 3 candidates fit; batch 2: only 2 of 4 fit (state carried)
+        assert len(a_allowed) == 5 and len(a_denied) == 2
+        # deterministic admission order: earliest (ts, url) pass
+        assert a_allowed == [
+            "http://a.com/0", "http://a.com/1", "http://a.com/2",
+            "http://a.com/x0", "http://a.com/x1",
+        ]
+        assert [r.allowed for r in got if r.host == "b.com"] == [True]
