@@ -2,10 +2,19 @@
 
 Task mandate: image/audio/video are opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as pandas
-UDFs over ``mapInPandas``. The image/audio libraries are not in this
-container, so the *decode* step is stubbed (deterministic fake derived from
-the bytes, clearly marked), while everything Spark-side — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested.
+UDFs over ``mapInPandas``.
+
+Decode tiers:
+- **Real, in-repo**: PPM (P6) and uncompressed 24-bit BMP decode in pure
+  numpy (no external libs), then real nearest-neighbor resize and real
+  per-channel + spatial-grid statistics as the feature vector.
+- **Gated**: compressed formats (PNG/JPEG/…) need PIL/libvips, absent in
+  this container — ``use_real=True`` on such a payload raises, per the
+  import gate below.
+- **Fake fallback**: payloads no real decoder claims get a clearly-marked
+  deterministic pseudo-feature (sha1-derived), keeping the distributed
+  plumbing exercised end-to-end; the ``decoded`` output column says which
+  path each row took.
 
 The reference's analog is the raw WARC payload column (BinaryType) and its
 MIME sniffing (process.py:161,247-250); this module generalizes that to
@@ -15,8 +24,10 @@ non-text media.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -40,6 +51,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoded", T.BooleanType(), False),  # real decode vs fake
     ]
 )
 
@@ -54,9 +66,91 @@ except ImportError:
 
 def _decode_image_real(payload: bytes):  # pragma: no cover
     raise NotImplementedError(
-        "real image decode requires PIL/libvips — not present in this "
-        "container; the deterministic fake below exercises the same plumbing"
+        "compressed-format decode (PNG/JPEG/…) requires PIL/libvips — not "
+        "present in this container; PPM/BMP decode natively below"
     )
+
+
+def decode_ppm(payload: bytes) -> Optional[np.ndarray]:
+    """Binary PPM (P6) → (H, W, 3) uint8, pure numpy/stdlib. Handles
+    comments and arbitrary whitespace in the header; maxval ≤ 255 only."""
+    if payload[:2] != b"P6":
+        return None
+    vals, pos = [], 2
+    while len(vals) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.find(b"\n", pos)
+            if pos == -1:
+                return None
+            continue
+        if c.isspace():
+            pos += 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end:end + 1].isspace():
+            end += 1
+        try:
+            vals.append(int(payload[pos:end]))
+        except ValueError:
+            return None
+        pos = end
+    if len(vals) < 3 or vals[2] > 255 or vals[2] <= 0:
+        return None
+    w, h = vals[0], vals[1]
+    pos += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
+    if px.size < h * w * 3:
+        return None
+    return px[: h * w * 3].reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> Optional[np.ndarray]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → (H, W, 3) uint8 RGB,
+    pure numpy: bottom-up row order, rows padded to 4 bytes, BGR storage."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if flipped else img
+
+
+def decode_image(payload: bytes) -> Optional[np.ndarray]:
+    """Try the in-repo real decoders (PPM, BMP); None if neither claims it."""
+    return decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
+
+
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by index mapping (pure numpy, no loops)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def image_features(img: np.ndarray, grid: int = 2) -> list[float]:
+    """Real feature vector: per-channel mean+std over the full image, then
+    per-cell channel means on a grid×grid layout of a 32×32 NN resize —
+    3+3+grid²·3 floats (8-dim default layout: 6 global + first 2 of grid)."""
+    small = resize_nn(img, 32, 32).astype(np.float64) / 255.0
+    feats = list(small.mean(axis=(0, 1))) + list(small.std(axis=(0, 1)))
+    step = 32 // grid
+    for gy in range(grid):
+        for gx in range(grid):
+            cell = small[gy * step:(gy + 1) * step, gx * step:(gx + 1) * step]
+            feats.extend(cell.mean(axis=(0, 1)))
+    return [float(x) for x in feats]
 
 
 def _decode_fake(payload: bytes, kind: str, feat_dim: int = 8) -> dict:
@@ -78,17 +172,34 @@ def _decode_fake(payload: bytes, kind: str, feat_dim: int = 8) -> dict:
 
 def extract_features(media: DataFrame, feat_dim: int = 8, use_real: bool = False) -> DataFrame:
     """media table -> per-item features via mapInPandas (Arrow-batched;
-    narrow, no shuffle). ``use_real=True`` raises NotImplementedError until
-    a decoder library is present (import-gated above)."""
+    narrow, no shuffle).
+
+    Images in natively-decodable formats (PPM/BMP) get REAL decode → resize
+    → statistics features and ``decoded=true``. Other payloads fall back to
+    the deterministic fake (``decoded=false``) — unless ``use_real=True``,
+    which makes an undecodable payload raise (the import-gated PIL slot)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 payload = bytes(r.payload)
-                if use_real:
-                    _decode_image_real(payload)  # raises: library absent
-                d = _decode_fake(payload, r.kind, feat_dim)
+                img = decode_image(payload) if r.kind == "image" else None
+                if img is not None:
+                    feats = image_features(img)
+                    feats = (feats + [0.0] * feat_dim)[:feat_dim]
+                    d = {
+                        "sha1": hashlib.sha1(payload).hexdigest(),
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "feature": feats,
+                    }
+                    decoded = True
+                else:
+                    if use_real:
+                        _decode_image_real(payload)  # raises: library absent
+                    d = _decode_fake(payload, r.kind, feat_dim)
+                    decoded = False
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -99,6 +210,7 @@ def extract_features(media: DataFrame, feat_dim: int = 8, use_real: bool = False
                         "width": d["width"],
                         "height": d["height"],
                         "feature": d["feature"],
+                        "decoded": decoded,
                     }
                 )
             yield pd.DataFrame(
@@ -141,8 +253,31 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(run, schema)
 
 
+def make_ppm(w: int, h: int, seed: int = 0) -> bytes:
+    """Deterministic P6 PPM test image (gradient + seed offset)."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+                   axis=-1).astype(np.uint8)
+    return b"P6\n# synth\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def make_bmp(w: int, h: int, seed: int = 0) -> bytes:
+    """Deterministic uncompressed 24-bit bottom-up BMP test image."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256],
+                   axis=-1).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # RGB→BGR storage
+    pix = rows[::-1].tobytes()  # bottom-up
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + pix
+
+
 def synth_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (PNG/RIFF/ftyp-prefixed byte blobs)."""
+    """Deterministic media table: real decodable PPM/BMP images interleaved
+    with opaque PNG/RIFF/ftyp blobs (fake-feature path)."""
     import random
 
     rng = random.Random(seed)
@@ -150,6 +285,14 @@ def synth_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
              ("video", "video/mp4", b"\x00\x00\x00 ftypisom")]
     rows = []
     for i in range(n):
+        if i % 6 == 3:  # real decodable images in the mix
+            payload = make_ppm(20 + i % 13, 14 + i % 7, seed=i)
+            rows.append((i, "image", payload, "image/x-portable-pixmap", {"src": f"synth-{i}"}))
+            continue
+        if i % 6 == 5:
+            payload = make_bmp(17 + i % 11, 9 + i % 5, seed=i)
+            rows.append((i, "image", payload, "image/bmp", {"src": f"synth-{i}"}))
+            continue
         kind, mime, magic = kinds[i % 3]
         body = bytes(rng.randrange(256) for _ in range(rng.randrange(200, 2000)))
         rows.append((i, kind, magic + body, mime, {"src": f"synth-{i}"}))

@@ -338,3 +338,23 @@ class TestPolitenessThrottleStream:
             "http://a.com/x0", "http://a.com/x1",
         ]
         assert [r.allowed for r in got if r.host == "b.com"] == [True]
+
+    def test_real_ppm_bmp_decode(self, spark):
+        # pure-kernel roundtrip: both writers/decoders share one pattern
+        ppm_img = multimodal.decode_ppm(multimodal.make_ppm(5, 4, seed=2))
+        assert ppm_img.shape == (4, 5, 3)
+        assert int(ppm_img[0, 1, 0]) == 9 and int(ppm_img[3, 0, 1]) == 35
+        bmp_img = multimodal.decode_bmp(multimodal.make_bmp(5, 4, seed=2))
+        assert (bmp_img == ppm_img).all()
+        assert multimodal.resize_nn(ppm_img, 32, 32).shape == (32, 32, 3)
+        # garbage rejected, not crashed
+        assert multimodal.decode_ppm(b"P6 broken") is None
+        assert multimodal.decode_bmp(b"BMxx") is None
+        # through Spark: decodable rows get real dims + decoded=true
+        media = multimodal.synth_media(spark, n=12)
+        rows = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+        assert rows[3].decoded and (rows[3].width, rows[3].height) == (23, 17)
+        assert rows[5].decoded and (rows[5].width, rows[5].height) == (22, 9)
+        assert rows[9].decoded and not rows[0].decoded
+        # real features are image statistics: all within [0, 1]
+        assert all(0.0 <= v <= 1.0 for v in rows[3].feature)
