@@ -187,6 +187,11 @@ shuffle files accumulate in RAM and evict the input from page cache — the
 suspected cause of the r1 2.2x spread at local[16]). Per-run steal%,
 loadavg and tmpfs occupancy are recorded in the raw JSON below.
 
+Where the 4N-level time goes — and why a single box under-reports what
+N→4N *executors* would show — is decomposed with controlled experiments
+(kernel-only scaling 0.958; stage wrapper contention; tuning record) in
+`BENCH/SCALING_NOTES.md`.
+
 | level | runs urls/sec (steal%) | median (HEADLINE) | best |
 |---|---|---|---|
 | local[{lo}] (N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[lo])} | {med_lo} | {thr_lo} |
