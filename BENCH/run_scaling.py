@@ -98,19 +98,24 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
     shm_before = _shm_used_mb()
     load_before = os.getloadavg()[0]
     tot0, steal0 = _cpu_ticks()
-    t0 = time.time()
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
-    wall = time.time() - t0
-    tot1, steal1 = _cpu_ticks()
-    steal_pct = 100.0 * (steal1 - steal0) / max(1, tot1 - tot0)
-    shutil.rmtree(store, ignore_errors=True)
-    shutil.rmtree(zip_dir, ignore_errors=True)
-    shutil.rmtree(local_dir, ignore_errors=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not line:
-        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-        raise RuntimeError(f"job produced no JSON (cores={cores})")
-    res = json.loads(line[-1])
+    # cleanup MUST survive a timeout/parse failure: a leaked /dev/shm shuffle
+    # dir would contaminate every later run with exactly the page-cache
+    # eviction this per-run-dir scheme exists to prevent.
+    try:
+        t0 = time.time()
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+        wall = time.time() - t0
+        tot1, steal1 = _cpu_ticks()
+        steal_pct = 100.0 * (steal1 - steal0) / max(1, tot1 - tot0)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"job produced no JSON (cores={cores})")
+        res = json.loads(line[-1])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(zip_dir, ignore_errors=True)
+        shutil.rmtree(local_dir, ignore_errors=True)
     res["wall_incl_startup"] = round(wall, 1)
     res["via_spark_submit"] = bool(spark_submit)
     res["steal_pct"] = round(steal_pct, 2)

@@ -62,6 +62,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: partial labels are
+        # silently wrong, so fail loudly (star edges keep diameter ~2, so
+        # hitting this means pathological input or a too-small max_iter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (labels would be partially propagated)"
+        )
     return labels
 
 

@@ -99,6 +99,10 @@ def decode_ppm(payload: bytes) -> Optional[np.ndarray]:
         return None
     w, h = vals[0], vals[1]
     pos += 1  # single whitespace after maxval
+    if pos >= len(payload) or w <= 0 or h <= 0:
+        # truncated right after the header (e.g. b"P6\n3 3 255"):
+        # frombuffer raises on offset past the buffer
+        return None
     px = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
     if px.size < h * w * 3:
         return None
@@ -184,7 +188,12 @@ def extract_features(media: DataFrame, feat_dim: int = 8, use_real: bool = False
             rows = []
             for r in pdf.itertuples():
                 payload = bytes(r.payload)
-                img = decode_image(payload) if r.kind == "image" else None
+                # a malformed record must degrade to the fake path, never
+                # fail the whole mapInPandas task
+                try:
+                    img = decode_image(payload) if r.kind == "image" else None
+                except Exception:
+                    img = None
                 if img is not None:
                     feats = image_features(img)
                     feats = (feats + [0.0] * feat_dim)[:feat_dim]

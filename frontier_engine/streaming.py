@@ -129,7 +129,14 @@ def politeness_throttle_stream(candidates: DataFrame, budget_per_host: int) -> D
     def throttle(key, pdf_iter, state):
         (host,) = key
         served = state.get[0] if state.exists else 0
-        for pdf in pdf_iter:
+        # a host's batch may arrive as several Arrow chunks
+        # (maxRecordsPerBatch); the deterministic-admission claim needs ONE
+        # global (ts, url) sort over the whole group, not per-chunk order.
+        # State is one counter/host and a host's per-batch candidate count is
+        # politeness-bounded, so materializing the group is O(small).
+        chunks = list(pdf_iter)
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "url"], kind="mergesort")
             room = max(budget_per_host - served, 0)
             flags = [i < room for i in range(len(pdf))]

@@ -17,12 +17,14 @@ def test_connected_components_chain_and_isolate(spark):
 
 
 def test_connected_components_respects_max_iter_bound(spark):
-    # a 6-chain needs ~5 propagation rounds; max_iter=2 must still return
-    # a labeling (partially converged), never hang
+    # a 6-chain needs ~5 propagation rounds; max_iter=2 must fail LOUDLY
+    # (a silently partial labeling is wrong data), never hang
+    import pytest
+
     nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
     edges = spark.createDataFrame([(i, i + 1) for i in range(5)], "a long, b long")
-    partial = connected_components(nodes, edges, max_iter=2).collect()
-    assert len(partial) == 6
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
     full = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
     assert set(full.values()) == {0}
 

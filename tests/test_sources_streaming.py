@@ -192,6 +192,17 @@ class TestMultimodal:
         again = {r.media_id: r.sha1 for r in multimodal.extract_features(media).collect()}
         assert all(again[r.media_id] == r.sha1 for r in rows)
 
+    def test_truncated_ppm_falls_back_not_fails(self, spark):
+        # valid P6 header that truncates right after maxval: must decode to
+        # None (fake path, decoded=false), never raise out of mapInPandas
+        assert multimodal.decode_ppm(b"P6\n3 3 255") is None
+        media = spark.createDataFrame(
+            [(1, "image", "image/x-portable-pixmap", bytearray(b"P6\n3 3 255"))],
+            "media_id long, kind string, mime string, payload binary",
+        )
+        rows = multimodal.extract_features(media, feat_dim=8).collect()
+        assert len(rows) == 1 and rows[0].decoded is False
+
     def test_real_decoder_gated(self, spark):
         media = multimodal.synth_media(spark, n=3)
         if multimodal.REAL_DECODERS_AVAILABLE:
