@@ -457,6 +457,29 @@ def ib_spl_scores(docs, query_terms, id_col="doc_id", text_col="text",
     return _scored(tf, dl, ts, s, "ib")
 
 
+def dfi_ib_scores(docs, query_terms, id_col="doc_id", text_col="text",
+                  c: float = 1.0) -> DataFrame:
+    """DFI chisquared + IB spl/ttf/h2 in ONE pass: both similarities share
+    the same (tf, dl, ts) stats, so computing them together halves the
+    tokenization/aggregation work vs separate calls. Returns
+    (doc_id, dfi, ib)."""
+    tf, dl, ts, n_docs, avgdl, total = _term_stats(docs, query_terms, id_col, text_col)
+    expected = F.col("ttf") * F.col("dl") / F.lit(float(total))
+    chi2 = (F.col("tf") - expected) * (F.col("tf") - expected) / expected
+    dfi_s = F.when(F.col("tf") > expected, F.log2(F.lit(1.0) + chi2)).otherwise(F.lit(0.0))
+    lam = (F.col("ttf") + 1) / F.lit(float(n_docs) + 1.0)
+    tfn = F.col("tf") * F.log2(F.lit(1.0) + F.lit(c * avgdl) / F.col("dl"))
+    ib_s = -F.log2((F.pow(lam, tfn / (tfn + 1)) - lam) / (F.lit(1.0) - lam))
+    return (
+        tf.join(F.broadcast(ts), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .withColumn("__dfi", dfi_s)
+        .withColumn("__ib", ib_s)
+        .groupBy("doc_id")
+        .agg(F.sum("__dfi").alias("dfi"), F.sum("__ib").alias("ib"))
+    )
+
+
 def scripted_tfidf_scores(docs, query_terms, id_col="doc_id", text_col="text") -> DataFrame:
     """The index's scripted TF-IDF (create_index_kibana.txt:20-28, painless
     source transcribed): idf = ln((N+1)/(df+1)) + 1; tf = √freq;

@@ -951,19 +951,35 @@ WHERE e.vec_id != 0
 """
 
 
-def _cosine_to_query(spark, sf_dir):
-    from frontier_engine.simsearch import cosine_to_query
+@q(
+    "ann_cosine_threshold",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos,
+           round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS l2
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+      AND round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qv, q.qv))), 4) >= 0.2
+    """,
+)
+def ann_cosine_threshold(spark, sf_dir):
+    """Brute-force cosine similarity against a query vector (JVM-side
+    zip_with/aggregate — no Python), thresholded; carries the corpus-side
+    L2 norm (subsumes the former embedding_norms entry)."""
+    from frontier_engine.simsearch import cosine_to_query, l2_norm_col
 
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return cosine_to_query(emb.where(F.col("vec_id") != 0), qv)
-
-
-@q("ann_cosine_threshold", _COS_SQL + " AND round(list_dot_product(e.embedding::DOUBLE[], q.qv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 4) >= 0.2")
-def ann_cosine_threshold(spark, sf_dir):
-    """Brute-force cosine similarity against a query vector (JVM-side
-    zip_with/aggregate — no Python), thresholded."""
-    return _cosine_to_query(spark, sf_dir).where(F.col("cos") >= 0.2)
+    cos = cosine_to_query(emb.where(F.col("vec_id") != 0), qv, keep_cols=["embedding"])
+    return (
+        cos.where(F.col("cos") >= 0.2)
+        .select("vec_id", "cos", F.round(l2_norm_col(F.col("embedding")), 4).alias("l2"))
+    )
 
 
 @q(
@@ -990,20 +1006,6 @@ def ann_topk_per_label(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("label", "vec_id")
     )
-
-
-@q(
-    "embedding_norms",
-    """
-    SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2
-    FROM embeddings
-    """,
-)
-def embedding_norms(spark, sf_dir):
-    from frontier_engine.simsearch import l2_norm_col
-
-    emb = load(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", F.round(l2_norm_col(F.col("embedding")), 4).alias("l2"))
 
 
 _KMEANS_K = 4
@@ -1344,6 +1346,17 @@ def _sim_sql(term_score: str) -> str:
     """
 
 
+def _sim_sql2(score_a: str, name_a: str, score_b: str, name_b: str) -> str:
+    """Two-similarity variant of ``_sim_sql``: same prelude, two summed
+    term-score columns (oracle mirror of analyzers.dfi_ib_scores)."""
+    base = _sim_sql(score_a)
+    return base.replace(
+        f"cast(floor(sum({score_a}) * 10000) AS bigint) AS score_e4",
+        f"cast(floor(sum({score_a}) * 10000) AS bigint) AS {name_a}, "
+        f"cast(floor(sum({score_b}) * 10000) AS bigint) AS {name_b}",
+    )
+
+
 def _sim_out(scores: DataFrame, col: str) -> DataFrame:
     return scores.select(
         "doc_id", F.floor(F.col(col) * 10000).cast("long").alias("score_e4")
@@ -1382,40 +1395,38 @@ def dfr_scoring(spark, sf_dir):
     return _sim_out(dfr_glh2_scores(d, list(_SIM_TERMS)), "dfr")
 
 
-@q(
-    "dfi_scoring",
-    _sim_sql(
-        "CASE WHEN tf.tf > ts.ttf * dl.dl / (SELECT total FROM stats)"
-        " THEN log2(1 + (tf.tf - ts.ttf * dl.dl / (SELECT total FROM stats))"
-        "            * (tf.tf - ts.ttf * dl.dl / (SELECT total FROM stats))"
-        "            / (ts.ttf * dl.dl / (SELECT total FROM stats)))"
-        " ELSE 0.0 END"
-    ),
+_DFI_TERM_SCORE = (
+    "CASE WHEN tf.tf > ts.ttf * dl.dl / (SELECT total FROM stats)"
+    " THEN log2(1 + (tf.tf - ts.ttf * dl.dl / (SELECT total FROM stats))"
+    "            * (tf.tf - ts.ttf * dl.dl / (SELECT total FROM stats))"
+    "            / (ts.ttf * dl.dl / (SELECT total FROM stats)))"
+    " ELSE 0.0 END"
 )
-def dfi_scoring(spark, sf_dir):
-    """DFI chisquared similarity (create_index_kibana.txt:29-32)."""
-    from frontier_engine.analyzers import dfi_chisquared_scores
-
-    d = load(spark, sf_dir, "documents")
-    return _sim_out(dfi_chisquared_scores(d, list(_SIM_TERMS)), "dfi")
+_IB_TERM_SCORE = (
+    "-log2((pow((ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0),"
+    "           (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
+    "           / (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl) + 1))"
+    "       - (ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0))"
+    "      / (1 - (ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0)))"
+)
 
 
 @q(
-    "ib_scoring",
-    _sim_sql(
-        "-log2((pow((ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0),"
-        "           (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl))"
-        "           / (tf.tf * log2(1 + (SELECT avgdl FROM stats) / dl.dl) + 1))"
-        "       - (ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0))"
-        "      / (1 - (ts.ttf + 1.0) / ((SELECT n FROM stats) + 1.0)))"
-    ),
+    "dfi_ib_scoring",
+    _sim_sql2(_DFI_TERM_SCORE, "dfi_e4", _IB_TERM_SCORE, "ib_e4"),
 )
-def ib_scoring(spark, sf_dir):
-    """IB spl/ttf/h2 similarity (create_index_kibana.txt:33-38)."""
-    from frontier_engine.analyzers import ib_spl_scores
+def dfi_ib_scoring(spark, sf_dir):
+    """DFI chisquared + IB spl/ttf/h2 similarities
+    (create_index_kibana.txt:29-38), fused over one shared stats pass."""
+    from frontier_engine.analyzers import dfi_ib_scores
 
     d = load(spark, sf_dir, "documents")
-    return _sim_out(ib_spl_scores(d, list(_SIM_TERMS)), "ib")
+    s = dfi_ib_scores(d, list(_SIM_TERMS))
+    return s.select(
+        "doc_id",
+        F.floor(F.col("dfi") * 10000).cast("long").alias("dfi_e4"),
+        F.floor(F.col("ib") * 10000).cast("long").alias("ib_e4"),
+    )
 
 
 @q(
