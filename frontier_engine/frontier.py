@@ -210,16 +210,16 @@ class FrontierEngine:
         # scheduled side is budget-bounded (≤ budget × hosts rows of a few
         # small columns) — broadcast it so the html-heavy pages side NEVER
         # shuffles: it streams straight from its cached partitions. The
-        # broadcast is CONDITIONAL on the actual scheduled count (a cheap
-        # count on the persisted schedule — it materializes a cache every
-        # later step reuses): above ``broadcast_row_limit`` rows the hint
-        # would exceed driver/broadcast limits, so fall back to a shuffle
-        # join and let AQE pick the strategy. At 10^10 scale the fallback
-        # is a bucketed shuffle-hash join on url_norm (pages bucketed at
-        # write time).
+        # broadcast is CONDITIONAL, decided from the PARENT SNAPSHOT's
+        # pending_out counter (scheduled ⊆ pending, so pending_in is a free
+        # upper bound — no count() job, no extra round barrier): above
+        # ``broadcast_row_limit`` candidate rows the hint could exceed
+        # driver/broadcast limits, so fall back to a shuffle join and let
+        # AQE pick the strategy. At 10^10 scale the fallback is a bucketed
+        # shuffle-hash join on url_norm (pages bucketed at write time).
         fetch_cols = ["url_norm", "url_hash", "host", "priority", "idx_id", "seq"]
         sched_small = scheduled.select(*fetch_cols)
-        if scheduled.count() <= self.broadcast_row_limit:
+        if n_pending_in <= self.broadcast_row_limit:
             sched_small = F.broadcast(sched_small)
         fetched_rows = sched_small.join(
             pages_prepared.select("url_norm", "url", "warc_ts", "html"), "url_norm", "inner"
