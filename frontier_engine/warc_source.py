@@ -78,22 +78,90 @@ def iter_warc_chunks(data: bytes):
         pos = end
 
 
-def member_offsets(data: bytes) -> list[int]:
-    """Split-point index for one WARC file (the reference's restriction
-    tracker bootstrap, warcio.py:72-80): gzip member starts, or plain-file
-    record starts (``WARC/`` magic at 0 or after a blank line)."""
-    if data[:2] == b"\x1f\x8b":
-        return [off for off, _ in iter_warc_chunks(data)]
+def _plain_offsets(data: bytes, bias: int = 0) -> list[int]:
+    """Plain-file record starts in a buffer (``WARC/`` magic at 0 or after
+    a blank line); ``bias`` shifts offsets for windowed scans."""
     offs = []
     pos = 0
     while True:
         m = data.find(b"WARC/", pos)
         if m == -1:
             break
-        if m == 0 or data[max(0, m - 4) : m] in (b"\r\n\r\n", b"\n\n\r\n") or data[m - 2 : m] == b"\n\n":
-            offs.append(m)
+        if m == 0 and bias == 0 or data[max(0, m - 4) : m] in (b"\r\n\r\n", b"\n\n\r\n") or data[m - 2 : m] == b"\n\n":
+            offs.append(bias + m)
         pos = m + 5
     return offs
+
+
+def stream_member_offsets(f, chunk_size: int = 4 << 20) -> list[int]:
+    """Split-point index from a FILE OBJECT in one sequential pass with
+    BOUNDED memory (≤ ~chunk_size held at once; decompressed gzip output is
+    discarded) — the fix for the whole-file ``f.read()`` the index pass
+    used to pay (reference streams with 64 KiB buffers, warcio.py:111-161).
+
+    Gzip: member start offsets (a member start is recorded only once its
+    member decompresses to EOF — a truncated trailing member is dropped,
+    matching ``iter_warc_chunks``). Plain: ``WARC/`` record starts found
+    with an overlapping sliding window."""
+    import zlib
+
+    head = f.read(2)
+    f.seek(0)
+    if head != b"\x1f\x8b":
+        # plain WARC: sliding window; 12-byte overlap so a "WARC/" magic
+        # crossing the boundary is seen with its full 4-byte separator
+        # context (5-byte magic + 4-byte "\r\n\r\n" + slack)
+        offs = []
+        bias = 0
+        prev_tail = b""
+        while True:
+            chunk = f.read(chunk_size)
+            if not chunk:
+                break
+            buf = prev_tail + chunk
+            offs.extend(o for o in _plain_offsets(buf, bias - len(prev_tail)) if o >= 0)
+            prev_tail = buf[-12:]
+            bias += len(chunk)
+        # dedupe (overlap region can be scanned twice), keep order
+        seen: set[int] = set()
+        return [o for o in offs if not (o in seen or seen.add(o))]
+
+    offs = []
+    d = None
+    abs_fed = 0          # absolute offset just past the last byte consumed
+    pending = b""        # unconsumed bytes (start of the next member)
+    member_start = 0
+    while True:
+        if d is None:
+            if len(pending) < 2:
+                more = f.read(chunk_size)
+                if not more:
+                    break
+                pending += more
+            if pending[:2] != b"\x1f\x8b":
+                break  # garbage tail: stop (lenient)
+            member_start = abs_fed
+            d = zlib.decompressobj(wbits=31)
+        data = pending if pending else f.read(chunk_size)
+        pending = b""
+        if not data:
+            break  # truncated trailing member: not recorded
+        d.decompress(data)  # output discarded — offsets only
+        abs_fed += len(data)
+        if d.eof:
+            rem = d.unused_data
+            abs_fed -= len(rem)
+            pending = rem
+            offs.append(member_start)
+            d = None
+    return offs
+
+
+def member_offsets(data: bytes) -> list[int]:
+    """Split-point index for one in-memory WARC buffer (the reference's
+    restriction tracker bootstrap, warcio.py:72-80). Thin wrapper over the
+    streaming indexer."""
+    return stream_member_offsets(io.BytesIO(data))
 
 
 def parse_warc_stream(data: bytes, source_file: str, max_payload: Optional[int] = None,
@@ -183,8 +251,32 @@ def read_warcs(
     record_types: tuple[str, ...] = ("response",),
     max_payload: int = 1024 * 1024,
     parallelism: Optional[int] = None,
+    target_split_bytes: int = 32 << 20,
 ) -> DataFrame:
-    """ReadWarcs parity: glob → distributed per-file record extraction.
+    """ReadWarcs parity: glob → distributed record extraction.
+
+    Implemented as range-reads over the split plan (``read_warcs_split``)
+    so no task ever materializes a whole archive — the old per-file path
+    loaded entire files through ``binaryFile`` ``content`` (2 GB row cap,
+    whole-archive RAM spike; the reference streams with 64 KiB buffers,
+    warcio.py:111-161). A directory of small files degenerates to one
+    range per file, i.e. the old per-file task layout."""
+    return read_warcs_split(
+        spark, glob, record_types, max_payload, target_split_bytes, parallelism
+    )
+
+
+def read_warcs_whole(
+    spark: SparkSession,
+    glob: str,
+    record_types: tuple[str, ...] = ("response",),
+    max_payload: int = 1024 * 1024,
+    parallelism: Optional[int] = None,
+) -> DataFrame:
+    """Whole-file read path (one ``binaryFile`` row per archive): the
+    independent oracle the split/range path is tested against, and the
+    fallback for non-seekable sources. NOT for huge archives — holds one
+    whole file per task (2 GB binaryFile row cap).
 
     The post-scan ``repartition`` is the reference's Reshuffle fusion break
     (warcio.py:69) — it spreads file payloads before the Python stage.
@@ -196,13 +288,13 @@ def read_warcs(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in RECORD_SCHEMA.fields]
         for pdf in batches:
-            rows = []
             for r in pdf.itertuples():
+                rows = []
                 for rec in parse_warc_stream(bytes(r.content), r.path, max_payload):
                     if record_types and rec["record_type"] not in record_types:
                         continue
                     rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(extract, RECORD_SCHEMA)
 
@@ -233,15 +325,17 @@ def plan_warc_splits(spark: SparkSession, glob: str,
     files = spark.read.format("binaryFile").load(glob).select("path")
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                with open(_local_path(p), "rb") as f:
-                    data = f.read()
-                offs = member_offsets(data)
+                lp = _local_path(p)
+                with open(lp, "rb") as f:
+                    offs = stream_member_offsets(f)  # bounded memory
                 if not offs:
                     continue
-                bounds = offs + [len(data)]
+                bounds = offs + [_os.path.getsize(lp)]
                 start = bounds[0]
                 for a, b in zip(bounds, bounds[1:]):
                     if b - start >= target_split_bytes or b == bounds[-1]:
@@ -273,8 +367,10 @@ def read_warcs_split(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in RECORD_SCHEMA.fields]
         for pdf in batches:
-            rows = []
+            # one output frame per range: a task holds at most one range's
+            # records (≈ target_split_bytes decompressed) at a time
             for r in pdf.itertuples():
+                rows = []
                 with open(_local_path(r.path), "rb") as f:
                     f.seek(r.start)
                     chunk = f.read(r.end - r.start)
@@ -283,7 +379,7 @@ def read_warcs_split(
                     if record_types and rec["record_type"] not in record_types:
                         continue
                     rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(rows, columns=cols)
 
     return splits.mapInPandas(extract, RECORD_SCHEMA)
 

@@ -291,10 +291,14 @@ class TestWarcSplitRead:
         ordered = sorted((s.start, s.end) for s in splits)
         assert all(a[1] == b[0] for a, b in zip(ordered, ordered[1:]))
 
-        whole = warc_source.read_warcs(spark, path).collect()
+        # read_warcs_whole is the independent whole-file oracle (read_warcs
+        # itself now routes through the range path)
+        whole = warc_source.read_warcs_whole(spark, path).collect()
         split = warc_source.read_warcs_split(spark, path, target_split_bytes=2048).collect()
+        ranged = warc_source.read_warcs(spark, path, target_split_bytes=2048).collect()
         key = lambda r: (r.source_offset, r.target_uri, bytes(r.payload))
         assert sorted(map(key, split)) == sorted(map(key, whole))
+        assert sorted(map(key, ranged)) == sorted(map(key, whole))
         assert len(whole) == 40
 
     def test_gzip_member_offsets_are_compressed_positions(self, big_warc):
@@ -304,6 +308,65 @@ class TestWarcSplitRead:
         assert len(offs) == 40 and offs[0] == 0
         # every offset points at a gzip magic
         assert all(data[o : o + 2] == b"\x1f\x8b" for o in offs)
+
+    def test_plain_offsets_windowed_matches_single_buffer(self, big_warc):
+        # streaming (windowed) plain-file index == one-buffer scan, with a
+        # window small enough that records straddle window boundaries
+        with open(f"{big_warc}/big.warc", "rb") as f:
+            data = f.read()
+        import io as _io
+
+        whole = warc_source._plain_offsets(data)
+        windowed = warc_source.stream_member_offsets(_io.BytesIO(data), chunk_size=777)
+        assert windowed == whole and len(whole) == 40
+
+    def test_index_pass_memory_is_bounded(self, tmp_path):
+        """A ~200 MB incompressible gzip WARC is indexed with bounded RSS:
+        the streaming indexer never materializes the file (the old path's
+        f.read() held it whole — the VERDICT r2 'driver-of-OOM at 100x'
+        item). Run in a fresh subprocess for a clean RSS high-water mark."""
+        import gzip as _gz
+        import os
+        import subprocess
+        import sys
+
+        path = tmp_path / "huge.warc.gz"
+        n_members = 40
+        with open(path, "wb") as out:
+            for i in range(n_members):
+                rec = {
+                    "record_type": "response", "record_id": f"<urn:uuid:{i}>",
+                    "target_uri": f"http://huge.com/p{i}",
+                    "warc_date": "2021-03-01T00:00:00Z",
+                    "http_content_type": "application/octet-stream",
+                    "payload": os.urandom(5 << 20),  # incompressible
+                }
+                out.write(_gz.compress(warc_source.write_warc_bytes([rec]), 1))
+        assert path.stat().st_size > 190 << 20
+
+        code = f"""
+import resource, sys
+sys.path.insert(0, "/root/repo")
+from frontier_engine import warc_source
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # import overhead
+with open({str(path)!r}, "rb") as f:
+    offs = warc_source.stream_member_offsets(f)
+assert len(offs) == {n_members}, offs
+# parse one middle range exactly as a split task would
+with open({str(path)!r}, "rb") as f:
+    f.seek(offs[10]); chunk = f.read(offs[11] - offs[10])
+recs = list(warc_source.parse_warc_stream(chunk, "huge", 1 << 20, offset_bias=offs[10]))
+assert len(recs) == 1 and recs[0]["source_offset"] == offs[10]
+print(base)
+print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+"""
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        base_kb, peak_kb = (int(x) for x in out.stdout.strip().splitlines()[-2:])
+        # the file is ~200 MB: indexing + one ~5 MB range must add far less
+        # than the file size on top of the interpreter/import baseline
+        delta_kb = peak_kb - base_kb
+        assert delta_kb < 60_000, f"RSS grew {delta_kb} KB over baseline — not bounded"
 
 
 class TestPolitenessThrottleStream:
