@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 # FULL host stopword list — all 256 entries of the reference's
@@ -200,9 +200,11 @@ def lm_dirichlet_scores(
 # re-expressed as a PORTABLE SQL scalar expression — text that parses
 # identically in Spark SQL (`F.expr`) and DuckDB. One generator is the
 # single source of truth for BOTH the engine and its correctness oracle:
-#   - normalizer  → lower()                       (icu_normalizer stand-in;
-#                   NFKC canonicalization has no portable SQL equivalent —
-#                   documented gap, inputs are assumed NFC)
+#   - normalizer  → NFKC (engine side: Arrow-batched pandas stage,
+#                   `nfkc_col` below — stdlib unicodedata) then lower().
+#                   The DuckDB oracle has no NFKC function, so the shared
+#                   SQL assumes NFKC-invariant input; non-invariant inputs
+#                   are pytest-covered (test_kernels NFKC fixtures)
 #   - elision     → regexp_replace('^(qu|jusqu|…|[lmtnsjdc])''', '')
 #   - stemmer     → first-match CASE over suffix rules (simple suffix
 #                   stemmers in the spirit of Lucene's minimal/light
@@ -318,16 +320,46 @@ def dispatch_chain_sql(tok_col: str, lang_col: str, langs: list[str]) -> str:
     return f"CASE {' '.join(whens)} ELSE {fold_sql(f'lower({tok_col})')} END"
 
 
+def nfkc_series(s):
+    """NFKC normalization kernel (vectorized-over-Arrow-batches pandas
+    stage): the icu_normalizer half of the reference chain
+    (data_index.py:662-668) that portable SQL cannot express. ASCII rows
+    short-circuit (NFKC is identity on ASCII), so the common case pays one
+    isascii() check per value."""
+    import unicodedata
+
+    return s.map(
+        lambda x: x if x is None or x.isascii() else unicodedata.normalize("NFKC", x)
+    )
+
+
+_nfkc_udf = None
+
+
+def nfkc_col(c: Column) -> Column:
+    """`nfkc_series` as a pandas UDF column (lazily constructed)."""
+    global _nfkc_udf
+    if _nfkc_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _nfkc_udf = pandas_udf(nfkc_series, T.StringType())
+    return _nfkc_udf(c)
+
+
 def analyze_text(df: DataFrame, text_col: str, lang_col: str,
                  id_cols: list[str], langs: list[str] | None = None) -> DataFrame:
     """Per-language analysis of a text column → one row per (id_cols, term):
-    apostrophe-preserving tokenize (icu_tokenizer stand-in), then the
-    portable per-language chain, dispatched on `lang_col`. All JVM-side
-    (codegen'd CASE/translate/regexp) — no Python in the loop."""
+    NFKC normalize (icu_normalizer parity — Arrow-batched pandas stage,
+    the one non-SQL step), then apostrophe-preserving tokenize
+    (icu_tokenizer stand-in), then the portable per-language chain,
+    dispatched on `lang_col` — the chain itself is JVM-side (codegen'd
+    CASE/translate/regexp). The DuckDB oracle has no NFKC function, so the
+    shared-SQL oracle assumes NFKC-invariant input; non-invariant inputs
+    (ligatures, fullwidth forms, combining marks) are pytest-covered."""
     langs = langs or sorted(STEM_RULES)
     toks = df.select(
         *id_cols, F.col(lang_col).alias("__lang"),
-        F.explode(F.split(F.col(text_col), r"[^\p{L}\p{Nd}']+")).alias("__tok"),
+        F.explode(F.split(nfkc_col(F.col(text_col)), r"[^\p{L}\p{Nd}']+")).alias("__tok"),
     ).where(F.length("__tok") > 0)
     term = F.expr(dispatch_chain_sql("__tok", "__lang", langs))
     return (
