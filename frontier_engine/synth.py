@@ -187,6 +187,7 @@ def generate_pages_spark(
     paras: int = 40,
     n_links: int = 4,
     seed: int = 42,
+    hot_host_frac: float = 0.0,
 ):
     """Distributed deterministic pages generator (bench scale): pure column
     expressions over ``spark.range`` — no Python, no driver-side data.
@@ -195,18 +196,23 @@ def generate_pages_spark(
     exercise the salted repartition; link targets are arithmetic (always
     resolvable) so frontier rounds keep discovering real pages; HTML size
     scales with ``paras`` (≈120 B each) to model real-crawl parse cost.
-    """
+    ``hot_host_frac`` > 0 routes that fraction of pages to ONE host
+    (``hot.example.com``) — the skew-stress shape (BENCH/run_skew.py)."""
     from pyspark.sql import functions as F
 
     para_pool = F.array(*[F.lit(p) for p in _PARAS])
 
     def host_of_id(idc):
         u = F.pmod(F.xxhash64(idc + seed), F.lit(1_000_000)) / 1_000_000.0
-        return F.concat(
+        base = F.concat(
             F.lit("site"),
             F.floor(u * u * n_hosts).cast("int").cast("string"),
             F.lit(".example.com"),
         )
+        if not hot_host_frac:
+            return base
+        hot = F.pmod(F.xxhash64(idc + seed + 1), F.lit(1000)) < int(hot_host_frac * 1000)
+        return F.when(hot, F.lit("hot.example.com")).otherwise(base)
 
     def url_of_id(idc):
         return F.concat(
