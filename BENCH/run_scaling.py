@@ -130,7 +130,10 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=120000)
     ap.add_argument("--budget", type=int, default=1500)
     ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--runs", type=int, default=5)
+    # n=8/level per VERDICT r2 item 2: the r2 n=4 protocol was noise-
+    # limited (1.6-2.0x same-config spread); more runs + IQR reporting +
+    # an explicit variance gate make the headline decidable
+    ap.add_argument("--runs", type=int, default=8)
     # ~30 KB html/page (Common-Crawl-realistic; lighter pages understate the
     # parallel fraction relative to the per-round scheduling floor)
     ap.add_argument("--paras", type=int, default=100)
@@ -149,7 +152,11 @@ def main() -> None:
 
     # INTERLEAVED runs (lo,hi,lo,hi,…): the sandbox VM suffers bursty CPU
     # steal from co-tenants, so consecutive same-level runs share bias.
+    # The report is (re)written after every pair — a killed protocol still
+    # leaves a valid BASELINE.md for the runs that completed.
     results: dict[int, list[dict]] = {c: [] for c in args.levels}
+    raw_path = os.path.join(REPO, "BENCH", "scaling_raw.jsonl")
+    open(raw_path, "w").close()
     for i in range(args.runs):
         for cores in args.levels:
             try:
@@ -160,21 +167,36 @@ def main() -> None:
             print(f"local[{cores}] run {i}: {r['urls']} urls in {r['sec']}s "
                   f"→ {r['urls_per_sec']}/s (steal {r['steal_pct']}%)", flush=True)
             results[cores].append(r)
+            with open(raw_path, "a") as f:
+                f.write(json.dumps({"cores": cores, "i": i, **r}) + "\n")
+        if results[args.levels[0]] and results[args.levels[1]]:
+            write_report(results, args)
     shutil.rmtree(data_dir, ignore_errors=True)
 
+
+def _iqr(xs: list[float]) -> float:
+    q = statistics.quantiles(xs, n=4) if len(xs) >= 2 else [xs[0]] * 3
+    return q[2] - q[0]
+
+
+def write_report(results: dict[int, list[dict]], args) -> None:
     lo, hi = args.levels
-    # MEDIAN is the headline (BASELINE.md protocol): robust to co-tenant
-    # noise without the cherry-pick risk of best-of. Best-of shown for
-    # context only.
-    if not results[lo] or not results[hi]:
-        raise SystemExit("no successful runs at one level — cannot report")
-    thr_lo = max(r["urls_per_sec"] for r in results[lo])
-    thr_hi = max(r["urls_per_sec"] for r in results[hi])
-    med_lo = statistics.median(r["urls_per_sec"] for r in results[lo])
-    med_hi = statistics.median(r["urls_per_sec"] for r in results[hi])
-    eff_best = thr_hi / (thr_lo * (hi / lo))
+    # MEDIAN is the headline: robust to co-tenant noise without the
+    # cherry-pick risk of best-of. IQR/median is the decidability gate.
+    thr = {c: [r["urls_per_sec"] for r in results[c]] for c in (lo, hi)}
+    med_lo, med_hi = statistics.median(thr[lo]), statistics.median(thr[hi])
+    iqr_lo, iqr_hi = _iqr(thr[lo]), _iqr(thr[hi])
     eff = med_hi / (med_lo * (hi / lo))
-    spread_hi = thr_hi / min(r["urls_per_sec"] for r in results[hi])
+    eff_best = max(thr[hi]) / (max(thr[lo]) * (hi / lo))
+    rel_iqr = max(iqr_lo / med_lo, iqr_hi / med_hi)
+    # error propagation on a ratio of medians: relative IQR half-widths add
+    eff_lo_b = (med_hi - iqr_hi / 2) / ((med_lo + iqr_lo / 2) * (hi / lo))
+    eff_hi_b = (med_hi + iqr_hi / 2) / ((med_lo - iqr_lo / 2) * (hi / lo))
+    decidable = rel_iqr <= 0.3
+    verdict = (
+        f"**{eff:.3f}** — {'MEETS' if eff >= 0.8 else 'below'} the ≥0.8 gate, "
+        f"measurement {'DECIDABLE (rel-IQR ≤ 0.3)' if decidable else 'NOISE-LIMITED (rel-IQR > 0.3 — extend or rely on the decomposition)'}"
+    )
     md = f"""# BENCH/BASELINE.md — scaling evidence (BASELINE.md protocol)
 
 Same frontier job ({args.rounds} rounds), same deterministic input
@@ -186,33 +208,38 @@ writers, GC, python workers) compete inside the level's CPU budget at both
 levels — as they would on a real N-core executor node.
 Sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 
-{args.runs} runs per level, interleaved (lo,hi,lo,hi,…). Each run gets a
-fresh unique tmpfs shuffle dir, removed afterwards (a shared dir let stale
-shuffle files accumulate in RAM and evict the input from page cache — the
-suspected cause of the r1 2.2x spread at local[16]). Per-run steal%,
-loadavg and tmpfs occupancy are recorded in the raw JSON below.
+Up to {args.runs} runs per level, interleaved (lo,hi,lo,hi,…); this file is
+rewritten after every completed pair. Each run gets a fresh unique tmpfs
+shuffle dir, removed afterwards. Per-run steal%, loadavg and tmpfs
+occupancy are recorded in the raw JSON below and in BENCH/scaling_raw.jsonl.
 
 Where the 4N-level time goes — and why a single box under-reports what
 N→4N *executors* would show — is decomposed with controlled experiments
-(kernel-only scaling 0.958; stage wrapper contention; tuning record) in
+(kernel-only scaling; stage wrapper contention; tuning record) in
 `BENCH/SCALING_NOTES.md`.
 
-| level | runs urls/sec (steal%) | median (HEADLINE) | best |
-|---|---|---|---|
-| local[{lo}] (N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[lo])} | {med_lo} | {thr_lo} |
-| local[{hi}] (4N) | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[hi])} | {med_hi} | {thr_hi} |
+| level | n | runs urls/sec (steal%) | median (HEADLINE) | IQR | IQR/median |
+|---|---|---|---|---|---|
+| local[{lo}] (N) | {len(thr[lo])} | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[lo])} | {med_lo:.1f} | {iqr_lo:.1f} | {iqr_lo / med_lo:.2f} |
+| local[{hi}] (4N) | {len(thr[hi])} | {', '.join(f"{r['urls_per_sec']} ({r['steal_pct']}%)" for r in results[hi])} | {med_hi:.1f} | {iqr_hi:.1f} | {iqr_hi / med_hi:.2f} |
 
-**Scaling efficiency (median, n={args.runs}/level)** =
-median(thr{hi}) / ({hi // lo} · median(thr{lo})) = **{eff:.3f}**
-(best-of for context: {eff_best:.3f}; max/min spread at local[{hi}]:
-{spread_hi:.2f}x; target ≥ 0.8 per BASELINE.json).
+**Scaling efficiency (median of n={len(thr[lo])}/{len(thr[hi])} per level)** =
+median(thr{hi}) / ({hi // lo} · median(thr{lo})) = {verdict}.
+IQR-propagated efficiency band: [{eff_lo_b:.3f}, {eff_hi_b:.3f}].
+(best-of-both for context: {eff_best:.3f}; target ≥ 0.8 per BASELINE.json.)
+
+Variance gate: the measurement counts as decidable only when
+IQR/median ≤ 0.3 at BOTH levels (worst here: {rel_iqr:.2f}). If the gate
+fails, the controlled decomposition in SCALING_NOTES.md (kernel and stage
+scaling measured without the co-tenant-noise-dominated job wrapper) is the
+primary evidence and this job-level number is context.
 
 Raw: {json.dumps({str(k): v for k, v in results.items()})}
 """
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out, "w") as f:
         f.write(md)
-    print(md)
+    print(md[:1500], flush=True)
 
 
 if __name__ == "__main__":
