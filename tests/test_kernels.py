@@ -191,3 +191,74 @@ class TestLangDetect:
     )
     def test_langs(self, text, lang):
         assert ex.detect_lang(text)[0] == lang
+
+
+class TestRegistryContract:
+    """Driver-harness invariants (no Spark needed): the correctness gate
+    evaluates only the first 50 registry entries (CORRECTNESS window), so
+    every oracle-backed query MUST precede every rows-only demo."""
+
+    def test_all_oracle_backed_queries_inside_driver_window(self):
+        from frontier_engine import queries as Q
+
+        names = list(Q.REGISTRY)
+        oracle_positions = [
+            i for i, n in enumerate(names) if Q.REGISTRY[n][1] is not None
+        ]
+        assert len(oracle_positions) <= 50, "oracle-backed entries exceed the window"
+        assert max(oracle_positions) < 50, (
+            "an oracle-backed query sits outside the driver's 50-entry "
+            f"evaluation window: {[names[i] for i in oracle_positions if i >= 50]}"
+        )
+
+    def test_sim_sql2_emits_both_score_columns(self):
+        from frontier_engine import queries as Q
+
+        sql = Q.REGISTRY["dfi_ib_scoring"][1]
+        assert "AS dfi_e4" in sql and "AS ib_e4" in sql
+        assert "score_e4" not in sql  # the single-slot alias must be gone
+
+    def test_ann_cosine_threshold_carries_l2(self):
+        from frontier_engine import queries as Q
+
+        sql = Q.REGISTRY["ann_cosine_threshold"][1]
+        assert "AS l2" in sql and "AS cos" in sql
+
+
+class TestStreamMemberOffsets:
+    """Bounded-memory gzip indexer edge cases (kernel-only)."""
+
+    def _gz_members(self, payloads):
+        import gzip
+
+        return b"".join(gzip.compress(p) for p in payloads)
+
+    def test_truncated_trailing_member_dropped(self):
+        import io
+
+        from frontier_engine.warc_source import stream_member_offsets
+
+        data = self._gz_members([b"a" * 1000, b"b" * 1000])
+        full = stream_member_offsets(io.BytesIO(data))
+        assert len(full) == 2
+        # cut inside the second member: only the first offset survives
+        cut = data[: full[1] + 5]
+        assert stream_member_offsets(io.BytesIO(cut)) == [full[0]]
+
+    def test_garbage_tail_stops_cleanly(self):
+        import io
+
+        from frontier_engine.warc_source import stream_member_offsets
+
+        data = self._gz_members([b"x" * 500]) + b"NOT GZIP DATA"
+        assert stream_member_offsets(io.BytesIO(data)) == [0]
+
+    def test_tiny_chunk_size_equals_one_shot(self):
+        import io
+
+        from frontier_engine.warc_source import stream_member_offsets
+
+        data = self._gz_members([b"p" * 300, b"q" * 300, b"r" * 300])
+        one = stream_member_offsets(io.BytesIO(data))
+        tiny = stream_member_offsets(io.BytesIO(data), chunk_size=7)
+        assert one == tiny and len(one) == 3
