@@ -89,12 +89,21 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
-            "--conf", f"spark.local.dir={local_dir}",
             "--py-files", zip_path,
         ] + job_args
     else:  # fallback: plain python (session built in-job)
         cmd = pin + [sys.executable] + job_args
-    env = dict(os.environ, PYTHONPATH=REPO, FRONTIER_SHM_TMP="1")
+    # SPARK_LOCAL_DIRS (not --conf spark.local.dir): the in-job get_spark()
+    # builder also sets spark.local.dir and builder conf beats the submit
+    # line, so the per-run unique dir silently never took effect via --conf
+    # (observed r3: every run shared /dev/shm/spark_local, and one killed
+    # run leaked a 1.7 GB blockmgr into RAM there). The SPARK_LOCAL_DIRS
+    # env var wins over any spark.local.dir conf in local mode, making the
+    # per-run dir authoritative and the finally-block rmtree a real cleanup
+    # even for killed runs.
+    env = dict(
+        os.environ, PYTHONPATH=REPO, FRONTIER_SHM_TMP="1", SPARK_LOCAL_DIRS=local_dir
+    )
     shm_before = _shm_used_mb()
     load_before = os.getloadavg()[0]
     tot0, steal0 = _cpu_ticks()

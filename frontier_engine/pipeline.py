@@ -178,10 +178,17 @@ def make_process_udf(id_prefix: str, max_payload_size: int = oracle.MAX_DOCUMENT
         ap_skip = cols["skip_reason"].append
         ap_links = cols["links"].append
         for url, ts, html in zip(urls, ts_objs, htmls):
+            if html is None:
+                html = b""
+            elif isinstance(html, str):
+                # lenient package boundary: the contract is binary (raw WARC
+                # payload; the charset ladder decodes), but an already-decoded
+                # string column shouldn't fail the job mid-task
+                html = html.encode("utf-8", "surrogatepass")
             r = oracle.process_page(
                 url,
                 ts,
-                bytes(html) if html is not None else b"",
+                bytes(html),
                 id_prefix=id_prefix,
                 max_payload_size=max_payload_size,
                 always_index_meta=True,  # meta struct always filled; kept/dropped downstream

@@ -72,8 +72,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 1024 measured optimal for the heavy extraction UDF at high
         # parallelism (finer JVM↔python pipelining): local[16] stage
-        # throughput 2.5k→3.1k pages/s vs the 10k default; neutral at local[4]
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # throughput 2.5k→3.1k pages/s vs the 10k default; neutral at local[4].
+        # Env-overridable so A/B sweeps are a pure env flip, no code edit.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("FRONTIER_ARROW_BATCH", "1024"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.local.dir", _local_dir())
