@@ -78,6 +78,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("FRONTIER_ARROW_BATCH", "1024"),
         )
+        # cap batch BYTES too (default 64m): with ~30 KB html rows a
+        # 1024-row batch is ~30 MB — far beyond the ~19 MB the loopback
+        # socket pair buffers, which is the precondition for the rare
+        # bidirectional flow-control wedge documented in
+        # BENCH/BASELINE.md (r3 notes). 8 MB keeps any single in-flight
+        # batch inside kernel buffering; small-row workloads still hit
+        # the 1024-row cap first, so their batching is unchanged
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("FRONTIER_ARROW_MAX_BYTES", "8m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.local.dir", _local_dir())
