@@ -349,18 +349,24 @@ def nfkc_col(c: Column) -> Column:
 def analyze_text(df: DataFrame, text_col: str, lang_col: str,
                  id_cols: list[str], langs: list[str] | None = None) -> DataFrame:
     """Per-language analysis of a text column → one row per (id_cols, term):
-    NFKC normalize (icu_normalizer parity — Arrow-batched pandas stage,
-    the one non-SQL step), then apostrophe-preserving tokenize
-    (icu_tokenizer stand-in), then the portable per-language chain,
+    apostrophe-preserving tokenize (icu_tokenizer stand-in), then NFKC
+    normalize each TOKEN (icu_normalizer parity — the reference applies the
+    normalizer as a token FILTER after icu_tokenizer, data_index.py:726-760,
+    so compatibility chars that NFKC turns into letters/digits do NOT merge
+    adjacent tokens; the normalized token is kept whole, never re-split —
+    ES token-filter semantics), then the portable per-language chain,
     dispatched on `lang_col` — the chain itself is JVM-side (codegen'd
-    CASE/translate/regexp). The DuckDB oracle has no NFKC function, so the
-    shared-SQL oracle assumes NFKC-invariant input; non-invariant inputs
-    (ligatures, fullwidth forms, combining marks) are pytest-covered."""
+    CASE/translate/regexp). NFKC is the one non-SQL step (Arrow-batched
+    pandas stage with a per-token isascii() short-circuit — on webtext the
+    overwhelmingly-ASCII token stream pays ~one branch per token). The
+    DuckDB oracle has no NFKC function, so the shared-SQL oracle assumes
+    NFKC-invariant input; non-invariant inputs (ligatures, fullwidth forms,
+    combining marks) are pytest-covered."""
     langs = langs or sorted(STEM_RULES)
     toks = df.select(
         *id_cols, F.col(lang_col).alias("__lang"),
-        F.explode(F.split(nfkc_col(F.col(text_col)), r"[^\p{L}\p{Nd}']+")).alias("__tok"),
-    ).where(F.length("__tok") > 0)
+        F.explode(F.split(F.col(text_col), r"[^\p{L}\p{M}\p{Nd}']+")).alias("__raw"),
+    ).where(F.length("__raw") > 0).withColumn("__tok", nfkc_col(F.col("__raw")))
     term = F.expr(dispatch_chain_sql("__tok", "__lang", langs))
     return (
         toks.withColumn("term", term)
@@ -449,6 +455,39 @@ def lm_jelinek_mercer_scores(docs, query_terms, id_col="doc_id", text_col="text"
         / (F.lit(lam) * F.col("ttf") / F.lit(float(total)))
     )
     return _scored(tf, dl, ts, s, "lmj")
+
+
+def lmj_lmd_scores(docs, query_terms, id_col="doc_id", text_col="text",
+                   lam: float = 0.1, mu: float = 2000.0) -> DataFrame:
+    """LMJelinekMercer + LMDirichlet in ONE pass (the dfi_ib fusion
+    pattern): both language models share the same (tf, dl, ts) stats.
+    LMDirichlet = Σ_t ln(1 + tf·total/(mu·ttf)) + |q|·ln(mu/(dl+mu))
+    (matches ``lm_dirichlet_scores``, cf ≡ ttf). Returns
+    (doc_id, lmj, lmd) for docs matching ≥1 query term."""
+    tf, dl, ts, _, _, total = _term_stats(docs, query_terms, id_col, text_col)
+    lmj_s = F.log(
+        F.lit(1.0)
+        + ((1 - lam) * F.col("tf") / F.col("dl"))
+        / (F.lit(lam) * F.col("ttf") / F.lit(float(total)))
+    )
+    lmd_s = F.log(
+        F.lit(1.0) + F.col("tf") * F.lit(float(total)) / (F.lit(mu) * F.col("ttf"))
+    )
+    n_q = float(len(query_terms))
+    return (
+        tf.join(F.broadcast(ts), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .withColumn("__lmj", lmj_s)
+        .withColumn("__lmd", lmd_s)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__lmj").alias("lmj"),
+            (
+                F.sum("__lmd")
+                + F.lit(n_q) * F.log(F.lit(mu) / (F.first("dl") + F.lit(mu)))
+            ).alias("lmd"),
+        )
+    )
 
 
 def dfr_glh2_scores(docs, query_terms, id_col="doc_id", text_col="text",

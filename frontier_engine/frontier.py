@@ -221,6 +221,15 @@ class FrontierEngine:
         sched_small = scheduled.select(*fetch_cols)
         if n_pending_in <= self.broadcast_row_limit:
             sched_small = F.broadcast(sched_small)
+        else:
+            # pending_in is only an upper bound: the schedule itself is
+            # budget-bounded (≤ budget × hosts) and typically tiny even
+            # when the frontier is huge — exactly the regime the broadcast
+            # was built for. One count() on the already-persisted schedule
+            # decides precisely (and eagerly materializes the cache the
+            # fetch join reuses).
+            if scheduled.count() <= self.broadcast_row_limit:
+                sched_small = F.broadcast(sched_small)
         fetched_rows = sched_small.join(
             pages_prepared.select("url_norm", "url", "warc_ts", "html"), "url_norm", "inner"
         ).persist()

@@ -1211,7 +1211,7 @@ def _lang_chain_dispatch_sql() -> str:
     SELECT doc_id, lang, term, count(*) AS n FROM (
       SELECT doc_id, lang, {_lang_chain_dispatch_sql()} AS term FROM (
         SELECT doc_id, lang,
-               unnest(string_split_regex(text, '[^\\p{{L}}\\p{{Nd}}'']+')) AS __tok
+               unnest(string_split_regex(text, '[^\\p{{L}}\\p{{M}}\\p{{Nd}}'']+')) AS __tok
         FROM documents) WHERE length(__tok) > 0)
     WHERE length(term) > 0
     GROUP BY 1, 2, 3
@@ -1350,11 +1350,15 @@ def _sim_sql2(score_a: str, name_a: str, score_b: str, name_b: str) -> str:
     """Two-similarity variant of ``_sim_sql``: same prelude, two summed
     term-score columns (oracle mirror of analyzers.dfi_ib_scores)."""
     base = _sim_sql(score_a)
-    return base.replace(
+    out = base.replace(
         f"cast(floor(sum({score_a}) * 10000) AS bigint) AS score_e4",
         f"cast(floor(sum({score_a}) * 10000) AS bigint) AS {name_a}, "
         f"cast(floor(sum({score_b}) * 10000) AS bigint) AS {name_b}",
     )
+    # guard against silent template drift: a no-op replace would yield a
+    # parseable-but-wrong oracle (single score_e4 column)
+    assert out != base, "_sim_sql2: score template drifted; replace no-op"
+    return out
 
 
 def _sim_out(scores: DataFrame, col: str) -> DataFrame:
@@ -1363,18 +1367,43 @@ def _sim_out(scores: DataFrame, col: str) -> DataFrame:
     )
 
 
-@q(
-    "lmj_scoring",
-    _sim_sql(
-        "ln(1 + ((1 - 0.1) * tf.tf / dl.dl) / (0.1 * ts.ttf / (SELECT total FROM stats)))"
-    ),
+_LMJ_TERM_SCORE = (
+    "ln(1 + ((1 - 0.1) * tf.tf / dl.dl) / (0.1 * ts.ttf / (SELECT total FROM stats)))"
 )
-def lmj_scoring(spark, sf_dir):
-    """LMJelinekMercer similarity (create_index_kibana.txt:8-10)."""
-    from frontier_engine.analyzers import lm_jelinek_mercer_scores
+# LMDirichlet per-doc score = Σ_t ln(1 + tf·total/(mu·ttf)) + |q|·ln(mu/(dl+mu));
+# the norm term is per-doc (dl is constant within the doc_id group → any_value)
+_LMD_AGG = (
+    "(sum(ln(1 + tf.tf * (SELECT total FROM stats) / (2000.0 * ts.ttf)))"
+    f" + {len(_SIM_TERMS)} * ln(2000.0 / (any_value(dl.dl) + 2000.0)))"
+)
+
+
+def _lmj_lmd_sql() -> str:
+    base = _sim_sql(_LMJ_TERM_SCORE)
+    out = base.replace(
+        f"cast(floor(sum({_LMJ_TERM_SCORE}) * 10000) AS bigint) AS score_e4",
+        f"cast(floor(sum({_LMJ_TERM_SCORE}) * 10000) AS bigint) AS lmj_e4, "
+        f"cast(floor({_LMD_AGG} * 10000) AS bigint) AS lmd_e4",
+    )
+    assert out != base, "_lmj_lmd_sql: score template drifted; replace no-op"
+    return out
+
+
+@q("lmj_lmd_scoring", _lmj_lmd_sql())
+def lmj_lmd_scoring(spark, sf_dir):
+    """LMJelinekMercer + LMDirichlet similarities
+    (create_index_kibana.txt:8-13), fused over one shared stats pass — with
+    this entry all six legacy similarities of the v1 index are
+    driver-evaluated (VERDICT r3 item 4)."""
+    from frontier_engine.analyzers import lmj_lmd_scores
 
     d = load(spark, sf_dir, "documents")
-    return _sim_out(lm_jelinek_mercer_scores(d, list(_SIM_TERMS)), "lmj")
+    s = lmj_lmd_scores(d, list(_SIM_TERMS))
+    return s.select(
+        "doc_id",
+        F.floor(F.col("lmj") * 10000).cast("long").alias("lmj_e4"),
+        F.floor(F.col("lmd") * 10000).cast("long").alias("lmd_e4"),
+    )
 
 
 @q(
@@ -1502,12 +1531,23 @@ def frontier_round_demo(spark, sf_dir):
     pages = spark.createDataFrame(pdf)
     seeds = spark.createDataFrame(synth.generate_seeds(pdf, n_seeds=30))
     robots = spark.createDataFrame(synth.generate_robots(pdf))
-    eng = FrontierEngine(
-        spark, tempfile.mkdtemp(prefix="fr_demo_"), n_shards=8, bloom_bits=1 << 16, budget=5
-    )
-    eng.init(seeds, robots)
-    eng.run_round(pl.dedup_newest(pl.canonicalized(pages)).persist())
-    return eng.schedule_table().orderBy("round", "host", "seq")
+    store_dir = tempfile.mkdtemp(prefix="fr_demo_")
+    try:
+        eng = FrontierEngine(
+            spark, store_dir, n_shards=8, bloom_bits=1 << 16, budget=5
+        )
+        eng.init(seeds, robots)
+        eng.run_round(pl.dedup_newest(pl.canonicalized(pages)).persist())
+        sched = eng.schedule_table().orderBy("round", "host", "seq")
+        # materialize the (tiny, budget-bounded) schedule so the store dir
+        # can be removed NOW — returning a lazy frame over the store leaked
+        # one fr_demo_* dir per driver evaluation (VERDICT r3 wrong #3)
+        rows, schema = sched.collect(), sched.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @q("bloom_membership_demo", None)

@@ -146,7 +146,16 @@ def stream_member_offsets(f, chunk_size: int = 4 << 20) -> list[int]:
         pending = b""
         if not data:
             break  # truncated trailing member: not recorded
-        d.decompress(data)  # output discarded — offsets only
+        # Bounded decompress: a gzip bomb can expand ~1032:1, so an
+        # unbounded d.decompress(data) could allocate ~4 GB per 4 MB chunk.
+        # Drain in ≤1 MiB output slices (input left in unconsumed_tail),
+        # discarding each slice, so peak allocation stays O(1 MiB).
+        buf = data
+        while True:
+            d.decompress(buf, 1 << 20)  # output discarded — offsets only
+            if d.eof or not d.unconsumed_tail:
+                break
+            buf = d.unconsumed_tail
         abs_fed += len(data)
         if d.eof:
             rem = d.unused_data
@@ -260,7 +269,14 @@ def read_warcs(
     loaded entire files through ``binaryFile`` ``content`` (2 GB row cap,
     whole-archive RAM spike; the reference streams with 64 KiB buffers,
     warcio.py:111-161). A directory of small files degenerates to one
-    range per file, i.e. the old per-file task layout."""
+    range per file, i.e. the old per-file task layout.
+
+    The range path seek-reads through local ``open()``; on a non-local
+    scheme (s3a/hdfs/...) that would fail at task time, so such globs fall
+    back to ``read_warcs_whole`` (binaryFile works on any Hadoop FS)."""
+    scheme = glob.split("://", 1)[0] if "://" in glob else "file"
+    if scheme not in ("file", ""):
+        return read_warcs_whole(spark, glob, record_types, max_payload, parallelism)
     return read_warcs_split(
         spark, glob, record_types, max_payload, target_split_bytes, parallelism
     )

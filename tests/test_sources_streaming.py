@@ -397,6 +397,46 @@ print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
         delta_kb = peak_kb - base_kb
         assert delta_kb < 60_000, f"RSS grew {delta_kb} KB over baseline — not bounded"
 
+    def test_index_pass_bounded_on_gzip_bomb(self, tmp_path):
+        """HIGHLY COMPRESSIBLE members (zeros, ~1000:1) — a crafted bomb
+        member must not materialize its full decompressed output during the
+        offsets-only index pass (the decompress loop drains in ≤1 MiB
+        slices). The incompressible-RSS test above can't catch this; here a
+        single 4 MB compressed chunk would expand to ~4 GB if unbounded."""
+        import gzip as _gz
+        import subprocess
+        import sys
+
+        path = tmp_path / "bomb.warc.gz"
+        rec = {
+            "record_type": "response", "record_id": "<urn:uuid:z>",
+            "target_uri": "http://bomb.com/", "warc_date": "2021-03-01T00:00:00Z",
+            "http_content_type": "application/octet-stream",
+            "payload": b"\x00" * (512 << 20),  # 512 MB of zeros per member
+        }
+        with open(path, "wb") as out:
+            for _ in range(2):
+                out.write(_gz.compress(warc_source.write_warc_bytes([rec]), 9))
+        assert path.stat().st_size < 4 << 20  # truly bomb-shaped
+
+        code = f"""
+import resource, sys
+sys.path.insert(0, "/root/repo")
+from frontier_engine import warc_source
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+with open({str(path)!r}, "rb") as f:
+    offs = warc_source.stream_member_offsets(f)
+assert len(offs) == 2, offs
+print(base)
+print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+"""
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        base_kb, peak_kb = (int(x) for x in out.stdout.strip().splitlines()[-2:])
+        delta_kb = peak_kb - base_kb
+        # 1 GB decompressed total; bounded path should add only MiB-scale
+        assert delta_kb < 60_000, f"RSS grew {delta_kb} KB on bomb — unbounded decompress"
+
 
 class TestPolitenessThrottleStream:
     def test_budget_enforced_across_microbatches(self, spark, tmp_path):
