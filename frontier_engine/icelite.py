@@ -115,6 +115,15 @@ class IceLite:
 
         def _write(job):
             _, df, path, _ = job
+            # snap_id is strictly newer than every COMMITTED snapshot
+            # (single-writer protocol), so an existing dir at this path can
+            # only be an orphan from a crash between data writes and the
+            # current.json commit point — clear it, then errorifexists
+            # still guards against concurrent writers racing the same id
+            if os.path.exists(path):
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
             df.write.mode("errorifexists").parquet(path)
 
         if len(jobs) > 1:

@@ -1073,7 +1073,7 @@ def kmeans_clusters(spark, sf_dir):
                        row_number() OVER (
                          ORDER BY sum((q.val - c.cval) * (q.val - c.cval)), c.cluster) AS rn
                 FROM qpos q JOIN cent2 c ON c.pos = q.pos GROUP BY c.cluster) t
-              WHERE rn = 1),
+              WHERE rn <= 2),
     qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT e.vec_id,
@@ -1091,16 +1091,18 @@ def kmeans_clusters(spark, sf_dir):
 )
 def ann_ivf_probe(spark, sf_dir):
     """End-to-end IVF ANN: train the coarse quantizer (kmeans_lloyd), probe
-    the query's nearest centroid, brute-force cosine top-3 INSIDE that one
-    cluster — the corpus outside the probed cluster is never scored (the
-    100 TB path: nprobe·(n/k) of the corpus touched instead of n). Ordering
+    the query's nprobe=2 nearest centroids, brute-force cosine top-3 INSIDE
+    those clusters — the corpus outside the probed clusters is never scored
+    (the 100 TB path: nprobe·(n/k) of the corpus touched instead of n).
+    Multi-probe is what real IVF recall depends on at cluster boundaries
+    (pytest: a boundary query whose true NN lives in cluster #2). Ordering
     on the ROUNDED cosine + vec_id tie-break keeps the top-3 engine-portable."""
     from frontier_engine.simsearch import cosine_to_query, ivf_probe_cluster, kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     assign, cent = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
-    probe = ivf_probe_cluster(qv, cent)
+    probe = ivf_probe_cluster(qv, cent, nprobe=2)
     members = emb.join(assign, "vec_id").join(F.broadcast(probe), "cluster")
     scored = cosine_to_query(members, qv)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())

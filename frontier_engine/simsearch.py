@@ -165,9 +165,13 @@ def kmeans_lloyd(emb: DataFrame, k: int = 4, iters: int = 2) -> tuple[DataFrame,
     return assign, cent_df
 
 
-def ivf_probe_cluster(query: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid to the query vector (one-row DataFrame, column
-    ``qv``): the IVF probe step. Returns a one-row (cluster) DataFrame."""
+def ivf_probe_cluster(query: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
+    """The ``nprobe`` nearest centroids to the query vector (one-row
+    DataFrame, column ``qv``): the IVF probe step. Real IVF recall at a
+    cluster boundary needs multi-probe — a query between two centroids has
+    its true NN in the runner-up cluster roughly half the time, so
+    production IVF always probes >1 (faiss default nprobe≥1, tuned upward).
+    Returns an ``nprobe``-row (cluster) DataFrame."""
     qpos = _pos_explode(query.select(F.col("qv").alias("embedding")).withColumn("vec_id", F.lit(-1)))
     d2 = (
         qpos.join(F.broadcast(cent), "pos")
@@ -175,7 +179,7 @@ def ivf_probe_cluster(query: DataFrame, cent: DataFrame) -> DataFrame:
         .agg(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d2"))
     )
     w = Window.orderBy("d2", "cluster")
-    return d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("cluster")
+    return d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= nprobe).select("cluster")
 
 
 def ann_lsh_candidates(emb: DataFrame, query: DataFrame, n_bits: int = 8, dim: int = 64) -> DataFrame:

@@ -171,3 +171,66 @@ class TestResumeDeterminism:
             eng.run_round(pages_prepared)
             lists.append(_schedule_list(eng))
         assert lists[0] == lists[1]
+
+    def test_sigkill_mid_commit_resumes_previous_snapshot(self, spark, tmp_path, crawl_inputs):
+        """Chaos gate (VERDICT r3 item 7): SIGKILL BETWEEN a round-commit's
+        parquet/manifest writes and the current.json rename (the commit
+        point, icelite.py:148-151). The store must read back the PREVIOUS
+        snapshot, the aborted snapshot's orphan files must be inert (and
+        not block the re-commit of the same snapshot id), and the resumed
+        crawl must match an uninterrupted control byte-for-byte."""
+        import signal
+        import subprocess
+        import sys
+
+        store = str(tmp_path / "chaos")
+        code = f"""
+import json, os, signal, sys
+sys.path.insert(0, "/root/repo")
+real_rename = os.rename
+def hook(src, dst):
+    # kill exactly when snapshot 2's commit point is about to land —
+    # after its parquet + manifest writes, before current.json flips
+    if os.path.basename(dst) == "current.json":
+        with open(src) as f:
+            if json.load(f)["current"] == 2:
+                os.kill(os.getpid(), signal.SIGKILL)
+    real_rename(src, dst)
+os.rename = hook
+from frontier_engine.session import get_spark
+from frontier_engine import pipeline, synth
+from frontier_engine.frontier import FrontierEngine
+spark = get_spark(cores=4, driver_memory="4g", app="chaos")
+pdf = synth.generate_pages(n_pages=300, seed=42, n_hosts=40)
+pages = spark.createDataFrame(pdf)
+eng = FrontierEngine(spark, {store!r}, n_shards=8, bloom_bits=1 << 16, budget=5)
+eng.init(spark.createDataFrame(synth.generate_seeds(pdf, n_seeds=40)),
+         spark.createDataFrame(synth.generate_robots(pdf)))
+prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
+eng.run_round(prepared)
+eng.run_round(prepared)   # SIGKILL fires inside this round's commit
+print("UNREACHABLE")
+"""
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=500
+        )
+        assert out.returncode == -signal.SIGKILL, (
+            out.returncode, out.stdout[-500:], out.stderr[-1500:],
+        )
+        assert "UNREACHABLE" not in out.stdout
+
+        from frontier_engine.icelite import IceLite
+
+        assert IceLite(store).current_snapshot_id() == 1  # snap 2 never landed
+
+        _, seeds, robots, pages_prepared = crawl_inputs
+        eng_res = FrontierEngine(spark, store, n_shards=8, bloom_bits=1 << 16, budget=5)
+        assert eng_res.initialized()
+        eng_res.run_round(pages_prepared)  # re-does the killed round 2
+        eng_res.run_round(pages_prepared)
+
+        eng_ctl = _mk_engine(spark, tmp_path, "chaos_control")
+        eng_ctl.init(seeds, robots)
+        for _ in range(3):
+            eng_ctl.run_round(pages_prepared)
+        assert _schedule_list(eng_res) == _schedule_list(eng_ctl)

@@ -271,6 +271,55 @@ class TestSimsearch:
         assert b1 == b2 and len(b1) == emb.count()
         assert all(0 <= b < 256 for b in b1.values())
 
+    def test_ivf_multiprobe_recovers_boundary_nn(self, spark):
+        """nprobe>1 is what real IVF recall depends on (VERDICT r3 item 8):
+        a query near the cluster boundary whose true NN (by cosine) is
+        assigned to the RUNNER-UP centroid is missed at nprobe=1 and found
+        at nprobe=2. Unit vectors on a circle make euclidean k-means and
+        cosine ranking consistent."""
+        import math
+
+        def unit(deg):
+            a = math.radians(deg)
+            return [math.cos(a), math.sin(a)]
+
+        # cluster A anchored at ~110 deg (seed vec_id 1), cluster B at ~0
+        # (seed vec_id 2); vec 17 at 57 deg lands in A (its centroid is
+        # dragged to ~105 by the anchors), while the query at 50 deg is
+        # nearer B's centroid — the classic boundary miss
+        a_angles = [105, 106.5, 108, 109.5, 111, 112.5, 114, 115]
+        b_angles = [0, -3, -2, -1, 1, 2, 3, 2.5]
+        rows = [(1, unit(a_angles[0])), (2, unit(b_angles[0]))]
+        vid = 3
+        for d in a_angles[1:]:
+            rows.append((vid, unit(d)))
+            vid += 1
+        for d in b_angles[1:]:
+            rows.append((vid, unit(d)))
+            vid += 1
+        rows.append((17, unit(57)))  # the true NN
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qv = spark.createDataFrame([(unit(50),)], "qv array<double>")
+
+        scored = simsearch.cosine_to_query(emb, qv)
+        assert scored.orderBy(F.col("cos").desc()).first().vec_id == 17
+
+        assign, cent = simsearch.kmeans_lloyd(emb, k=2, iters=2)
+
+        def members(nprobe):
+            probe = simsearch.ivf_probe_cluster(qv, cent, nprobe=nprobe)
+            return {
+                r.vec_id
+                for r in emb.join(assign, "vec_id")
+                .join(F.broadcast(probe), "cluster")
+                .collect()
+            }
+
+        m1, m2 = members(1), members(2)
+        assert 17 not in m1, "boundary NN unexpectedly in the first probe"
+        assert 17 in m2, "nprobe=2 must recover the boundary NN"
+        assert len(m2) == len(rows)  # k=2: both clusters probed = full set
+
     def test_ann_lsh_candidates_contains_query_bucket(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         qv = emb.where("vec_id = 7").select(F.col("embedding").alias("qv"))
@@ -396,6 +445,53 @@ print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
         # than the file size on top of the interpreter/import baseline
         delta_kb = peak_kb - base_kb
         assert delta_kb < 60_000, f"RSS grew {delta_kb} KB over baseline — not bounded"
+
+    def test_warc_ingest_end_to_end_matches_parquet_path(self, spark, tmp_path):
+        """VERDICT r3 item 5: the full ingest chain — synth → WARC bytes on
+        disk (one gzip member per record) → plan_warc_splits →
+        read_warcs_split → warc_records_to_pages → run_pipeline — produces
+        EXACTLY the docs of the parquet-table path on the same corpus."""
+        import gzip as _gz
+
+        from frontier_engine import pipeline as pl, synth
+
+        pdf = synth.generate_pages(n_pages=80, seed=5, n_hosts=12, compute_text=False)
+        files = [open(tmp_path / f"w{i}.warc.gz", "wb") for i in range(2)]
+        for i, r in enumerate(pdf.itertuples()):
+            rec = {
+                "record_type": "response",
+                "record_id": f"<urn:uuid:e2e-{i}>",
+                "target_uri": r.url,
+                "warc_date": r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "http_content_type": "text/html",
+                "payload": bytes(r.html),
+            }
+            files[i % 2].write(_gz.compress(warc_source.write_warc_bytes([rec]), 6))
+        for f in files:
+            f.close()
+
+        # max_payload above the corpus's too-big edge row: the reader's
+        # transport strip (warcio.py:150-154 parity) would otherwise clip
+        # the >1 MiB page to exactly 1 MiB and sneak it past the pipeline's
+        # max-size filter — size-policy enforcement belongs to the
+        # pipeline's content filters, the reader must hand over full bytes
+        recs = warc_source.read_warcs(
+            spark, str(tmp_path / "*.warc.gz"), target_split_bytes=4096,
+            max_payload=4 << 20,
+        )
+        pages_w = warc_source.warc_records_to_pages(recs).select("url", "warc_ts", "html")
+        pages_p = spark.createDataFrame(pdf)
+
+        out_w = pl.run_pipeline(pages_w)
+        out_p = pl.run_pipeline(pages_p)
+        try:
+            rows_w = sorted(map(tuple, out_w["payload"].collect()))
+            rows_p = sorted(map(tuple, out_p["payload"].collect()))
+        finally:
+            out_w["proc"].unpersist()
+            out_p["proc"].unpersist()
+        assert len(rows_w) > 0
+        assert rows_w == rows_p
 
     def test_index_pass_bounded_on_gzip_bomb(self, tmp_path):
         """HIGHLY COMPRESSIBLE members (zeros, ~1000:1) — a crafted bomb
