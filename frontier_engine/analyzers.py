@@ -206,10 +206,13 @@ def lm_dirichlet_scores(
 #                   SQL assumes NFKC-invariant input; non-invariant inputs
 #                   are pytest-covered (test_kernels NFKC fixtures)
 #   - elision     → regexp_replace('^(qu|jusqu|…|[lmtnsjdc])''', '')
-#   - stemmer     → first-match CASE over suffix rules (simple suffix
-#                   stemmers in the spirit of Lucene's minimal/light
-#                   stemmers — Savoy-style light stemming, public
-#                   literature; NOT a byte-port of the GPL Lucene code)
+#   - stemmer     → en/fr/de/es/it/sv: EXACT transcriptions of the
+#                   published Lucene minimal/light algorithms (Harman
+#                   s-stemmer, Savoy light stemmers) as portable SQL —
+#                   EXACT_STEM_SQL below; pt/ru/hu/fi: first-match CASE
+#                   suffix approximations (their Lucene counterparts
+#                   carry exception word-lists not reproduced here —
+#                   documented per-language at STEM_RULES)
 #   - folding     → replace(ß/œ/æ) + translate(accented → base)
 # =====================================================================
 
@@ -217,48 +220,179 @@ def lm_dirichlet_scores(
 _FOLD_SRC = "àáâãäåāăąçćčďđèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏőŕŗřśšşșťţùúûüũūŭůűųýÿžźżğġħ"
 _FOLD_DST = "aaaaaaaaacccddeeeeeeeeeiiiiiiiiinnnnoooooooooorrrssssttuuuuuuuuuuyyzzzggh"
 
-# stemmer rule tables: ordered (suffix, min_token_len, strip_n | replacement,
-# excluded_endings). FIRST matching rule applies; no match → unchanged.
+# stemmer rule tables for the REMAINING approximated languages (ordered
+# (suffix, min_token_len, strip_n | replacement, excluded_endings); FIRST
+# matching rule applies; no match → unchanged). en/fr/de/es/it/sv now use
+# exact ports of the published Lucene minimal/light algorithms (below);
+# pt/ru/hu/fi stay documented light-suffix approximations (their Lucene
+# counterparts — RSLP plural step, Savoy ru/hu/fi light — carry exception
+# word-lists this port does not reproduce verbatim).
 STEM_RULES: dict[str, list] = {
-    # minimal_english: final -s unless -ss/-us/-is; -ies → y
-    "en": [("ies", 5, "y", ()), ("s", 4, 1, ("ss", "us", "is"))],
-    # minimal_french (post-elision): plural/gender endings, len ≥ 6
-    "fr": [("aux", 6, "al", ()), ("x", 6, 1, ()), ("s", 6, 1, ()),
-           ("r", 6, 1, ()), ("e", 6, 1, ()), ("é", 6, 1, ())],
-    # minimal_german: plural endings
-    "de": [("nen", 7, 3, ()), ("en", 6, 2, ()), ("er", 6, 2, ()),
-           ("es", 6, 2, ()), ("se", 6, 2, ()), ("n", 5, 1, ()),
-           ("s", 5, 1, ()), ("e", 5, 1, ())],
-    # light_italian: final vowels
-    "it": [("i", 6, 1, ()), ("e", 6, 1, ()), ("o", 6, 1, ()), ("a", 6, 1, ())],
-    # light_spanish
-    "es": [("os", 5, 2, ()), ("as", 5, 2, ()), ("es", 5, 2, ()),
-           ("o", 5, 1, ()), ("a", 5, 1, ()), ("e", 5, 1, ())],
-    # minimal_portuguese: plural only
+    # minimal_portuguese approximation: plural only
     "pt": [("ns", 5, "m", ()), ("es", 5, 2, ()), ("s", 4, 1, ())],
-    # light_russian: adjective/noun endings
+    # light_russian approximation: adjective/noun endings
     "ru": [("ами", 7, 3, ()), ("ями", 7, 3, ()), ("ого", 7, 3, ()),
            ("его", 7, 3, ()), ("ов", 6, 2, ()), ("ев", 6, 2, ()),
            ("ие", 6, 2, ()), ("ые", 6, 2, ()), ("ой", 6, 2, ()),
            ("ый", 6, 2, ()), ("ий", 6, 2, ()), ("ах", 6, 2, ()),
            ("ях", 6, 2, ()), ("ы", 5, 1, ()), ("и", 5, 1, ()),
            ("а", 5, 1, ()), ("я", 5, 1, ()), ("о", 5, 1, ()), ("е", 5, 1, ())],
-    # light_swedish
-    "sv": [("arna", 7, 4, ()), ("erna", 7, 4, ()), ("orna", 7, 4, ()),
-           ("ar", 6, 2, ()), ("er", 6, 2, ()), ("or", 6, 2, ()),
-           ("en", 6, 2, ()), ("et", 6, 2, ()), ("an", 6, 2, ()),
-           ("a", 5, 1, ()), ("e", 5, 1, ())],
-    # light_hungarian: case suffixes + plural
+    # light_hungarian approximation: case suffixes + plural
     "hu": [("nak", 7, 3, ()), ("nek", 7, 3, ()), ("ban", 7, 3, ()),
            ("ben", 7, 3, ()), ("ok", 6, 2, ()), ("ek", 6, 2, ()),
            ("ak", 6, 2, ()), ("k", 5, 1, ()), ("t", 5, 1, ())],
-    # light_finnish: locative cases + plural
+    # light_finnish approximation: locative cases + plural ("light_finish"
+    # in the reference config, data_index.py:678-681 — a Lucene alias typo
+    # the reference ships verbatim)
     "fi": [("ssa", 7, 3, ()), ("ssä", 7, 3, ()), ("sta", 7, 3, ()),
            ("stä", 7, 3, ()), ("lla", 7, 3, ()), ("llä", 7, 3, ()),
            ("lle", 7, 3, ()), ("lta", 7, 3, ()), ("ltä", 7, 3, ()),
            ("en", 6, 2, ()), ("in", 6, 2, ()), ("t", 5, 1, ()),
            ("n", 5, 1, ()), ("a", 5, 1, ()), ("ä", 5, 1, ())],
 }
+
+
+# ---------------------------------------------------------------------
+# Exact stemmer ports (VERDICT r3 item 3). Each generator emits ONE
+# portable SQL expression implementing the published Lucene algorithm —
+# the same Savoy/Harman light/minimal stemmers the reference's ES config
+# names (data_index.py:662-711: minimal_english, minimal_french,
+# minimal_german, light_spanish, light_italian, light_swedish). Original
+# SQL transcriptions of the published algorithms (not code copies);
+# algorithm-derived golden vectors live in tests/test_kernels.py.
+#
+# Portability notes: `right/left/length/substr/translate/||/IN` parse and
+# behave identically in Spark SQL and DuckDB; `regexp_replace` differs
+# (Spark=replace-all, DuckDB=replace-first) but every pattern below is
+# `$`-anchored so both replace at most once. CASE WHEN branches are
+# selected in order by both engines, so guarded substr() index arithmetic
+# never diverges.
+# ---------------------------------------------------------------------
+
+def _pen(col: str, back: int = 1) -> str:
+    """substr expr for the char ``back`` positions before the last."""
+    return f"substr({col}, length({col}) - {back}, 1)"
+
+
+def _cut(col: str, n: int) -> str:
+    return f"left({col}, length({col}) - {n})"
+
+
+def _stem_en_sql(c: str) -> str:
+    """EnglishMinimalStemmer (Harman 1991 "s-stemmer" as shipped by
+    Lucene): only plural -s handling. Keep -us/-ss; -ies→-y unless
+    preceded by a/e; keep -Ves for V∈{i,a,o,e} (goes, shoes); else strip
+    the final s. Applies from length 3."""
+    return (
+        f"CASE WHEN length({c}) < 3 OR right({c}, 1) <> 's' THEN {c} "
+        f"WHEN {_pen(c)} IN ('u', 's') THEN {c} "
+        f"WHEN length({c}) > 3 AND right({c}, 3) = 'ies' "
+        f"AND {_pen(c, 3)} NOT IN ('a', 'e') THEN {_cut(c, 3)} || 'y' "
+        f"WHEN {_pen(c)} = 'e' AND {_pen(c, 2)} IN ('i', 'a', 'o', 'e') THEN {c} "
+        f"ELSE {_cut(c, 1)} END"
+    )
+
+
+def _stem_fr_sql(c: str) -> str:
+    """FrenchMinimalStemmer (Savoy minimal): length ≥ 6; -aux→-al /
+    strip -x (terminal branch), else SEQUENTIALLY strip s, r, e, é and
+    collapse a doubled final letter. The sequential strips are chained
+    $-anchored regexp_replace (chantés → chanté → chant)."""
+    e = c
+    for suf in ("s", "r", "e", "é"):
+        e = f"regexp_replace({e}, '{suf}$', '')"
+    dbl = (
+        f"CASE WHEN length({e}) > 1 AND right({e}, 1) = {_pen(e)} "
+        f"THEN {_cut(e, 1)} ELSE {e} END"
+    )
+    return (
+        f"CASE WHEN length({c}) < 6 THEN {c} "
+        f"WHEN right({c}, 3) = 'aux' THEN {_cut(c, 2)} || 'l' "
+        f"WHEN right({c}, 1) = 'x' THEN {_cut(c, 1)} "
+        f"ELSE {dbl} END"
+    )
+
+
+def _stem_de_sql(c: str) -> str:
+    """GermanMinimalStemmer: length ≥ 5; fold ä/ö/ü→a/o/u first, then
+    strip -nen (len>6), then -en/-se/-es/-er (len>5), then single
+    -e/-s/-n. Words under 5 chars return UNFOLDED (the later icu_folding
+    stage folds them anyway, so chain output is unaffected)."""
+    g = f"translate({c}, 'äöü', 'aou')"
+    return (
+        f"CASE WHEN length({c}) < 5 THEN {c} "
+        f"WHEN length({c}) > 6 AND right({g}, 3) = 'nen' THEN {_cut(g, 3)} "
+        f"WHEN length({c}) > 5 AND right({g}, 2) IN ('en', 'se', 'es', 'er') THEN {_cut(g, 2)} "
+        f"WHEN right({g}, 1) IN ('e', 's', 'n') THEN {_cut(g, 1)} "
+        f"ELSE {g} END"
+    )
+
+
+_ES_IT_FOLD_SRC = "àáâäòóôöèéêëùúûüìíîï"
+_ES_IT_FOLD_DST = "aaaaooooeeeeuuuuiiii"
+
+
+def _stem_es_sql(c: str) -> str:
+    """SpanishLightStemmer (Savoy light): length ≥ 5; fold accented
+    vowels, strip final -o/-a/-e; for -s plurals: -eses→-es, -ces→-z
+    (luces→luz), -os/-as/-es→strip 2, else keep."""
+    g = f"translate({c}, {_sq(_ES_IT_FOLD_SRC)}, {_sq(_ES_IT_FOLD_DST)})"
+    return (
+        f"CASE WHEN length({c}) < 5 THEN {c} "
+        f"WHEN right({g}, 1) IN ('o', 'a', 'e') THEN {_cut(g, 1)} "
+        f"WHEN right({g}, 1) = 's' THEN "
+        f"CASE WHEN right({g}, 4) = 'eses' THEN {_cut(g, 2)} "
+        f"WHEN right({g}, 3) = 'ces' THEN {_cut(g, 3)} || 'z' "
+        f"WHEN {_pen(g)} IN ('o', 'a', 'e') THEN {_cut(g, 2)} "
+        f"ELSE {g} END "
+        f"ELSE {g} END"
+    )
+
+
+def _stem_it_sql(c: str) -> str:
+    """ItalianLightStemmer (Savoy light): length ≥ 6; fold accented
+    vowels, strip a final vowel — two chars when preceded by i (plural
+    -ia/-io/-ie/-ii) or by h before e/i (-he/-hi, preserving hard c/g)."""
+    g = f"translate({c}, {_sq(_ES_IT_FOLD_SRC)}, {_sq(_ES_IT_FOLD_DST)})"
+    return (
+        f"CASE WHEN length({c}) < 6 THEN {c} "
+        f"WHEN right({g}, 1) IN ('e', 'i') AND {_pen(g)} IN ('i', 'h') THEN {_cut(g, 2)} "
+        f"WHEN right({g}, 1) IN ('a', 'o') AND {_pen(g)} = 'i' THEN {_cut(g, 2)} "
+        f"WHEN right({g}, 1) IN ('a', 'e', 'i', 'o') THEN {_cut(g, 1)} "
+        f"ELSE {g} END"
+    )
+
+
+def _stem_sv_sql(c: str) -> str:
+    """SwedishLightStemmer (Savoy light): strip a final -s first (len>4),
+    then the longest matching suffix from the graded table."""
+    g = (
+        f"CASE WHEN length({c}) > 4 AND right({c}, 1) = 's' "
+        f"THEN {_cut(c, 1)} ELSE {c} END"
+    )
+    return (
+        f"CASE WHEN length({g}) > 7 AND right({g}, 5) IN ('elser', 'heten') THEN {_cut(g, 5)} "
+        f"WHEN length({g}) > 6 AND right({g}, 4) IN "
+        f"('arna', 'erna', 'ande', 'else', 'aste', 'orna', 'aren') THEN {_cut(g, 4)} "
+        f"WHEN length({g}) > 5 AND right({g}, 3) IN ('are', 'ast', 'het') THEN {_cut(g, 3)} "
+        f"WHEN length({g}) > 4 AND right({g}, 2) IN "
+        f"('ar', 'er', 'or', 'en', 'at', 'te', 'et') THEN {_cut(g, 2)} "
+        f"WHEN length({g}) > 3 AND right({g}, 1) IN ('t', 'a', 'e', 'n') THEN {_cut(g, 1)} "
+        f"ELSE {g} END"
+    )
+
+
+EXACT_STEM_SQL = {
+    "en": _stem_en_sql,
+    "fr": _stem_fr_sql,
+    "de": _stem_de_sql,
+    "es": _stem_es_sql,
+    "it": _stem_it_sql,
+    "sv": _stem_sv_sql,
+}
+
+# every language with a stemmer stage (exact ports + approximations)
+STEMMED_LANGS = sorted(set(STEM_RULES) | set(EXACT_STEM_SQL))
 
 # every analyzer the reference declares (data_index.py:725-976): langs with
 # a stemmer stage, langs with norm+fold only, and the CJK family (separate
@@ -282,7 +416,10 @@ def fold_sql(col: str) -> str:
 
 
 def stem_sql(col: str, lang: str) -> str:
-    """First-match suffix-stemmer CASE for one language (portable SQL)."""
+    """Stemmer expression for one language (portable SQL): exact Lucene
+    algorithm port where available, first-match suffix CASE otherwise."""
+    if lang in EXACT_STEM_SQL:
+        return EXACT_STEM_SQL[lang](col)
     whens = []
     for suffix, min_len, action, excluded in STEM_RULES[lang]:
         n = len(suffix)
@@ -304,7 +441,7 @@ def chain_sql(col: str, lang: str) -> str:
     expr = f"lower({col})"
     if lang == "fr":
         expr = f"regexp_replace({expr}, {_sq(_ELISION_RE)}, '')"
-    if lang in STEM_RULES:
+    if lang in STEM_RULES or lang in EXACT_STEM_SQL:
         expr = stem_sql(expr, lang)
     return fold_sql(expr)
 
@@ -315,7 +452,7 @@ def dispatch_chain_sql(tok_col: str, lang_col: str, langs: list[str]) -> str:
     whens = [
         f"WHEN {lang_col} = {_sq(lg)} THEN {chain_sql(tok_col, lg)}"
         for lg in langs
-        if lg in STEM_RULES
+        if lg in STEM_RULES or lg in EXACT_STEM_SQL
     ]
     return f"CASE {' '.join(whens)} ELSE {fold_sql(f'lower({tok_col})')} END"
 
@@ -362,7 +499,7 @@ def analyze_text(df: DataFrame, text_col: str, lang_col: str,
     DuckDB oracle has no NFKC function, so the shared-SQL oracle assumes
     NFKC-invariant input; non-invariant inputs (ligatures, fullwidth forms,
     combining marks) are pytest-covered."""
-    langs = langs or sorted(STEM_RULES)
+    langs = langs or STEMMED_LANGS
     toks = df.select(
         *id_cols, F.col(lang_col).alias("__lang"),
         F.explode(F.split(F.col(text_col), r"[^\p{L}\p{M}\p{Nd}']+")).alias("__raw"),

@@ -1204,7 +1204,7 @@ def meta_header_spill(spark, sf_dir):
 def _lang_chain_dispatch_sql() -> str:
     from frontier_engine import analyzers as A
 
-    return A.dispatch_chain_sql("__tok", "lang", sorted(A.STEM_RULES))
+    return A.dispatch_chain_sql("__tok", "lang", A.STEMMED_LANGS)
 
 
 @q(

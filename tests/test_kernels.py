@@ -193,6 +193,109 @@ class TestLangDetect:
         assert ex.detect_lang(text)[0] == lang
 
 
+class TestExactStemmers:
+    """Golden vectors for the exact Lucene minimal/light stemmer ports
+    (VERDICT r3 item 3). Expected stems are derived from the published
+    algorithms (Harman 1991 s-stemmer; Savoy's CLEF light stemmers as
+    shipped by Lucene's *MinimalStemmer/*LightStemmer classes — reference
+    config data_index.py:662-711). Every vector is evaluated through BOTH
+    engines — Spark `F.expr` and DuckDB — on the same generated SQL, so
+    the test is also the portability proof for the shared-oracle scheme.
+    Vectors are pre-fold (the stemmer stage's own output)."""
+
+    GOLDEN = {
+        "en": [
+            ("cats", "cat"), ("ponies", "pony"), ("ties", "ty"),
+            ("series", "sery"), ("caress", "caress"), ("focus", "focus"),
+            ("goes", "goes"), ("shoes", "shoes"), ("makes", "make"),
+            ("dies", "dy"), ("this", "thi"), ("its", "it"), ("is", "is"),
+            ("axes", "axe"),
+        ],
+        "fr": [
+            ("chevaux", "cheval"), ("généraux", "général"),
+            ("baux", "baux"),              # len<6 untouched
+            ("chantés", "chant"),          # sequential s → é strips
+            ("chanter", "chant"),          # sequential r → e strips
+            ("hommes", "hom"),             # s, e, then doubled-m collapse
+            ("cheval", "cheval"),
+        ],
+        "de": [
+            ("hunden", "hund"), ("frauen", "frau"), ("tonnen", "tonn"),
+            ("häuser", "haus"), ("häusern", "hauser"),
+            ("könnten", "konnt"), ("hause", "haus"),
+            ("büro", "büro"),              # len<5: returned unfolded
+        ],
+        "es": [
+            ("casas", "cas"), ("luces", "luz"), ("meses", "mes"),
+            ("niños", "niñ"), ("grande", "grand"), ("cafés", "caf"),
+            ("mesas", "mes"), ("mesa", "mesa"),  # len<5 untouched
+        ],
+        "it": [
+            ("ragazzi", "ragazz"), ("ragazzo", "ragazz"),
+            ("banche", "banc"), ("amiche", "amic"),
+            ("vecchio", "vecch"), ("grazie", "graz"),
+            ("consigli", "consigl"), ("figli", "figli"),  # len<6
+        ],
+        "sv": [
+            ("bilarna", "bil"), ("flickorna", "flick"), ("huset", "hus"),
+            ("bilar", "bil"), ("händelser", "händ"), ("bilens", "bil"),
+        ],
+    }
+
+    def test_golden_vectors_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from frontier_engine.analyzers import stem_sql
+
+        for lang, pairs in self.GOLDEN.items():
+            df = spark.createDataFrame([(w,) for w, _ in pairs], "w string")
+            got = [r.s for r in df.select(F.expr(stem_sql("w", lang)).alias("s")).collect()]
+            want = [s for _, s in pairs]
+            assert got == want, f"{lang}: {list(zip([w for w, _ in pairs], got, want))}"
+
+    def test_golden_vectors_duckdb(self):
+        import duckdb
+
+        from frontier_engine.analyzers import _sq, stem_sql
+
+        con = duckdb.connect()
+        for lang, pairs in self.GOLDEN.items():
+            for w, want in pairs:
+                got = con.sql(
+                    f"SELECT {stem_sql(_sq(w), lang)} AS s"
+                ).fetchone()[0]
+                assert got == want, f"{lang}: {w} -> {got}, want {want}"
+
+    def test_spark_duckdb_agree_on_random_tokens(self, spark):
+        """Cross-engine agreement beyond the golden set: pseudo-random
+        letter strings through every exact stemmer must stem identically
+        in both engines (the portability contract the oracle rides on)."""
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from frontier_engine.analyzers import EXACT_STEM_SQL, _sq, stem_sql
+
+        rng = random.Random(99)
+        alpha = "abcdefghijklmnopqrstuvwxyzéäöüàñç"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(2, 12)))
+            for _ in range(300)
+        ]
+        con = duckdb.connect()
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        for lang in EXACT_STEM_SQL:
+            got_spark = [
+                r.s for r in df.select(F.expr(stem_sql("w", lang)).alias("s")).collect()
+            ]
+            got_duck = [
+                con.sql(f"SELECT {stem_sql(_sq(w), lang)} AS s").fetchone()[0]
+                for w in words
+            ]
+            assert got_spark == got_duck, f"{lang} diverged between engines"
+
+
 class TestRegistryContract:
     """Driver-harness invariants (no Spark needed): the correctness gate
     evaluates only the first 50 registry entries (CORRECTNESS window), so
