@@ -1,8 +1,19 @@
 """Scaling-evidence harness (BASELINE.md protocol): the same frontier job,
-same input, at local[8] (N) and local[32] (4N) via spark-submit
---py-files; efficiency = thr32 / (4 * thr8). Writes BENCH/BASELINE.md.
+same input, at local[N] and local[4N] via spark-submit --py-files;
+efficiency = thr_hi / (4 * thr_lo). Writes BENCH/BASELINE.md.
 
-Usage: python BENCH/run_scaling.py [--pages 40000] [--runs 2]
+Two protocols:
+- ``paired`` (default, VERDICT r3 item 2): a SMALL job (1 round) run as
+  back-to-back lo/hi PAIRS — each ratio is same-regime by construction,
+  so the host's slow regime drift (which defeated time-interleaving in
+  r3: hi-level bimodality with steal ≈ 0) cancels inside each pair.
+  Order alternates (lo,hi / hi,lo) to cancel first-position bias.
+  Headline = median of per-pair efficiencies; gate = pair-level
+  IQR/median ≤ 0.3.
+- ``interleaved`` (r2/r3 protocol, kept for comparability): a larger job
+  interleaved lo,hi,lo,hi…; headline = ratio of per-level medians.
+
+Usage: python BENCH/run_scaling.py [--mode paired] [--pairs 12]
 """
 
 from __future__ import annotations
@@ -135,14 +146,17 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int) -
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=1200000)
-    ap.add_argument("--seeds", type=int, default=120000)
+    ap.add_argument("--mode", choices=["paired", "interleaved"], default="paired")
+    # paired-mode job is deliberately SMALL (1 round, ~600k pages → a few
+    # minutes/run): the pair must fit inside one host-noise regime window
+    # for the same-regime cancellation to hold
+    ap.add_argument("--pages", type=int, default=None)
+    ap.add_argument("--seeds", type=int, default=None)
     ap.add_argument("--budget", type=int, default=1500)
-    ap.add_argument("--rounds", type=int, default=2)
-    # n=8/level per VERDICT r2 item 2: the r2 n=4 protocol was noise-
-    # limited (1.6-2.0x same-config spread); more runs + IQR reporting +
-    # an explicit variance gate make the headline decidable
+    ap.add_argument("--rounds", type=int, default=None)
+    # interleaved: n runs per level; paired: n pairs (≥12 per VERDICT r3)
     ap.add_argument("--runs", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=12)
     # ~30 KB html/page (Common-Crawl-realistic; lighter pages understate the
     # parallel fraction relative to the per-round scheduling floor)
     ap.add_argument("--paras", type=int, default=100)
@@ -154,11 +168,32 @@ def main() -> None:
     # artifact of single-box evidence, not of the engine's scaling.
     ap.add_argument("--levels", type=int, nargs=2, default=[4, 16])
     args = ap.parse_args()
+    if args.pages is None:
+        args.pages = 600_000 if args.mode == "paired" else 1_200_000
+    if args.seeds is None:
+        args.seeds = 60_000 if args.mode == "paired" else 120_000
+    if args.rounds is None:
+        args.rounds = 1 if args.mode == "paired" else 2
 
+    # the Arrow-socket wedge watchdog (BENCH/wedge_watchdog.py) kills a
+    # deadlocked run in ~5 min instead of the 3600 s subprocess timeout
+    wd = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "BENCH", "wedge_watchdog.py"), str(os.getpid())]
+    )
     data_dir = tempfile.mkdtemp(prefix="scale_pages_")
-    print(f"generating {args.pages} pages ...", flush=True)
-    pages_path = build_pages_parquet(args.pages, data_dir, paras=args.paras)
+    try:
+        print(f"generating {args.pages} pages ...", flush=True)
+        pages_path = build_pages_parquet(args.pages, data_dir, paras=args.paras)
+        if args.mode == "paired":
+            run_paired(args, pages_path)
+        else:
+            run_interleaved(args, pages_path)
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        wd.terminate()
 
+
+def run_interleaved(args, pages_path: str) -> None:
     # INTERLEAVED runs (lo,hi,lo,hi,…): the sandbox VM suffers bursty CPU
     # steal from co-tenants, so consecutive same-level runs share bias.
     # The report is (re)written after every pair — a killed protocol still
@@ -180,12 +215,108 @@ def main() -> None:
                 f.write(json.dumps({"cores": cores, "i": i, **r}) + "\n")
         if results[args.levels[0]] and results[args.levels[1]]:
             write_report(results, args)
-    shutil.rmtree(data_dir, ignore_errors=True)
+
+
+def run_paired(args, pages_path: str) -> None:
+    """n pairs of back-to-back lo/hi runs; per-pair efficiency; report
+    rewritten after every completed pair (kill-safe)."""
+    lo, hi = args.levels
+    pairs: list[dict] = []
+    raw_path = os.path.join(REPO, "BENCH", "scaling_paired_raw.jsonl")
+    open(raw_path, "w").close()
+    for i in range(args.pairs):
+        order = (lo, hi) if i % 2 == 0 else (hi, lo)
+        res: dict[int, dict] = {}
+        for cores in order:
+            try:
+                res[cores] = run_job(cores, pages_path, args.seeds, args.budget, args.rounds)
+            except Exception as e:  # a lost run voids only THIS pair
+                print(f"pair {i} local[{cores}]: FAILED ({e})", flush=True)
+                break
+        if len(res) < 2:
+            continue
+        eff = res[hi]["urls_per_sec"] / (res[lo]["urls_per_sec"] * (hi / lo))
+        pair = {
+            "i": i,
+            "order": f"{order[0]}->{order[1]}",
+            "lo": res[lo],
+            "hi": res[hi],
+            "eff": round(eff, 3),
+        }
+        pairs.append(pair)
+        print(
+            f"pair {i} ({pair['order']}): lo {res[lo]['urls_per_sec']}/s "
+            f"(steal {res[lo]['steal_pct']}%), hi {res[hi]['urls_per_sec']}/s "
+            f"(steal {res[hi]['steal_pct']}%) → eff {pair['eff']}",
+            flush=True,
+        )
+        with open(raw_path, "a") as f:
+            f.write(json.dumps(pair) + "\n")
+        write_paired_report(pairs, args)
 
 
 def _iqr(xs: list[float]) -> float:
     q = statistics.quantiles(xs, n=4) if len(xs) >= 2 else [xs[0]] * 3
     return q[2] - q[0]
+
+
+def write_paired_report(pairs: list[dict], args) -> None:
+    lo, hi = args.levels
+    effs = [p["eff"] for p in pairs]
+    med = statistics.median(effs)
+    iqr = _iqr(effs)
+    rel_iqr = iqr / med if med else float("inf")
+    decidable = rel_iqr <= 0.3
+    verdict = (
+        f"**{med:.3f}** — {'MEETS' if med >= 0.8 else 'below'} the ≥0.8 gate, "
+        f"measurement {'DECIDABLE (pair-level rel-IQR ≤ 0.3)' if decidable else 'NOISE-LIMITED (pair-level rel-IQR > 0.3)'}"
+    )
+    rows = "\n".join(
+        f"| {p['i']} | {p['order']} | {p['lo']['urls_per_sec']} ({p['lo']['steal_pct']}%) "
+        f"| {p['hi']['urls_per_sec']} ({p['hi']['steal_pct']}%) | {p['eff']:.3f} |"
+        for p in pairs
+    )
+    md = f"""# BENCH/BASELINE.md — scaling evidence (paired-ratio protocol, r4)
+
+Same frontier job ({args.rounds} round, {args.pages} pages, {args.seeds}
+seeds, budget {args.budget}/host), run as BACK-TO-BACK lo/hi PAIRS on one
+32-core host ({'spark-submit --py-files' if pairs and pairs[0]['lo']['via_spark_submit'] else 'python'}),
+each run taskset-pinned to exactly N / 4N CPUs. Sandbox stand-in for
+N vs 4N executors per BASELINE.json north_rule.
+
+Why pairs (VERDICT r3 item 2): time-interleaving did not remove this
+host's slow regime drift — r3's hi level was bimodal (2226-2851 vs
+3590/4368 urls/s) with steal ≤ 1.2 % throughout, so per-LEVEL medians
+compared across hours mix regimes. A pair's two runs execute inside one
+regime window (the job is sized to a few minutes), so each RATIO is
+same-regime by construction; the median of per-pair efficiencies is the
+comparison this host actually supports. Pair order alternates
+(lo,hi / hi,lo) to cancel first-position bias; a failed run voids only
+its own pair. Each run gets a fresh unique tmpfs shuffle dir
+(SPARK_LOCAL_DIRS), removed afterwards; the Arrow-socket wedge watchdog
+runs alongside.
+
+| pair | order | local[{lo}] urls/s (steal) | local[{hi}] urls/s (steal) | efficiency |
+|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency (median of {len(pairs)} per-pair ratios)** = {verdict}.
+Pair-level IQR {iqr:.3f}, IQR/median {rel_iqr:.2f}; per-pair range
+[{min(effs):.3f}, {max(effs):.3f}].
+
+Secondary evidence: the controlled decomposition in
+`BENCH/SCALING_NOTES.md` (kernel-only scaling 0.958; extraction-stage
+scaling 0.78 after Arrow batch tuning; zero driver-serial gaps) and the
+r3 interleaved protocol (median-of-levels 0.579, n=8/7, declared
+noise-limited by its pre-registered variance gate — superseded by this
+paired protocol as the headline).
+
+Raw per-pair records: `BENCH/scaling_paired_raw.jsonl`.
+"""
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out, "w") as f:
+        f.write(md)
+    print(f"[report] median eff {med:.3f} over {len(pairs)} pairs (rel-IQR {rel_iqr:.2f})", flush=True)
 
 
 def write_report(results: dict[int, list[dict]], args) -> None:
