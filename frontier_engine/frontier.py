@@ -399,6 +399,7 @@ class FrontierEngine:
         _mark("commit_writes", _t)
         if timing_on:
             print(f"[frontier-timing] round {round_no}: {phases}", flush=True)
+            counters["phases"] = phases  # machine-readable (scaling harness)
         for df in (unseen, sched_all, fetched_rows, proc, settled_delta, pending_new):
             df.unpersist()
         return counters

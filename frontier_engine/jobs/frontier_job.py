@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None, help="build local[N] session if no active session")
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--bloom-bits", type=int, default=1 << 22)
+    ap.add_argument("--prepared", action="store_true",
+                    help="pages parquet is already canonicalized+deduped "
+                         "(production lake-table shape); skip the prep pass")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -47,7 +50,10 @@ def main() -> None:
     from frontier_engine.frontier import FrontierEngine
 
     pages = spark.read.parquet(args.pages)
-    prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
+    if args.prepared:
+        prepared = pages.persist()
+    else:
+        prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
     prepared.count()  # materialize outside the timed section
 
     # deterministic seed list: first N distinct urls by hash order
