@@ -183,6 +183,9 @@ def main() -> None:
     # threads on exactly 32 cores), penalizing only the 4N level — an
     # artifact of single-box evidence, not of the engine's scaling.
     ap.add_argument("--levels", type=int, nargs=2, default=[4, 16])
+    ap.add_argument("--corpus", default=None,
+                    help="reuse an existing pages parquet (paired mode: the "
+                         "PREPARED table) instead of regenerating")
     args = ap.parse_args()
     if args.pages is None:
         args.pages = 600_000 if args.mode == "paired" else 1_200_000
@@ -196,12 +199,21 @@ def main() -> None:
     wd = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "BENCH", "wedge_watchdog.py"), str(os.getpid())]
     )
-    data_dir = tempfile.mkdtemp(prefix="scale_pages_")
+    # paired mode keeps the corpus in tmpfs: the timed section scans the
+    # prepared table per round (no persist), so the scan must come from RAM
+    # — the sandbox's single virtual disk is both slow and co-tenant-noisy,
+    # and a real cluster's lake scan is distributed across many spindles/SSDs
+    data_dir = tempfile.mkdtemp(
+        prefix="scale_pages_", dir="/dev/shm" if args.mode == "paired" else None
+    )
     try:
-        print(f"generating {args.pages} pages ...", flush=True)
-        pages_path = build_pages_parquet(
-            args.pages, data_dir, paras=args.paras, prepared=(args.mode == "paired")
-        )
+        if args.corpus:
+            pages_path = args.corpus
+        else:
+            print(f"generating {args.pages} pages ...", flush=True)
+            pages_path = build_pages_parquet(
+                args.pages, data_dir, paras=args.paras, prepared=(args.mode == "paired")
+            )
         if args.mode == "paired":
             run_paired(args, pages_path)
         else:

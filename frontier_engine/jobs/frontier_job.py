@@ -49,12 +49,31 @@ def main() -> None:
     from frontier_engine import pipeline, politeness
     from frontier_engine.frontier import FrontierEngine
 
+    import os as _os
+    import sys as _sys
+
+    _setup: dict[str, float] = {}
+
+    def _lap(name: str, t0: float) -> float:
+        t = time.perf_counter()
+        _setup[name] = round(t - t0, 1)
+        return t
+
+    _t = time.perf_counter()
     pages = spark.read.parquet(args.pages)
     if args.prepared:
-        prepared = pages.persist()
+        # production lake-table shape: each round SCANS the table (that is
+        # what a real deployment pays, and a scan parallelizes at both
+        # levels). Persisting here would materialize the full deserialized
+        # corpus (~30 KB/row) through N cores before the clock starts —
+        # measured 329 s at local[4] for 600k pages, swamping the pair's
+        # regime window for zero measurement value in a 1-round job.
+        prepared = pages
+        prepared.count()  # fail fast on a bad path (no-column scan, cheap)
     else:
         prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
-    prepared.count()  # materialize outside the timed section
+        prepared.count()  # materialize outside the timed section
+    _t = _lap("prep_persist", _t)
 
     # deterministic seed list: first N distinct urls by hash order
     seeds = (
@@ -77,6 +96,9 @@ def main() -> None:
     )
     if not eng.initialized():
         eng.init(seeds, robots)
+    _t = _lap("init_commit", _t)
+    if _os.environ.get("FRONTIER_TIMING"):
+        print(f"[frontier-setup] {_setup}", file=_sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     counters = [eng.run_round(prepared) for _ in range(args.rounds)]
@@ -90,6 +112,7 @@ def main() -> None:
                 "sec": round(sec, 3),
                 "urls_per_sec": round(urls / sec, 2),
                 "counters": counters,
+                "setup_sec": _setup,
                 "parallelism": spark.sparkContext.defaultParallelism,
             }
         )
