@@ -309,6 +309,20 @@ def write_paired_report(pairs: list[dict], args) -> None:
     rel_iqr = iqr / med if med else float("inf")
     decidable = rel_iqr <= 0.3
 
+    # Steal-balanced view (objective validity criterion, declared in the
+    # report itself): a pair is BALANCED when neither run saw >3% steal and
+    # the two runs' steal differs by ≤1 point — i.e. external interference
+    # hit both halves alike, which is the premise a within-pair ratio rests
+    # on. Both medians are always reported; the balanced one is the
+    # headline only when ≥half the pairs qualify.
+    bal = [
+        p for p in pairs
+        if max(p["lo"]["steal_pct"], p["hi"]["steal_pct"]) <= 3.0
+        and abs(p["lo"]["steal_pct"] - p["hi"]["steal_pct"]) <= 1.0
+    ]
+    bal_effs = [p["eff"] for p in bal]
+    bal_med = statistics.median(bal_effs) if bal_effs else None
+
     # MEASURED shortfall attribution (VERDICT r3 item 2): per-phase
     # scaling from the in-run FRONTIER_TIMING marks. For identical work,
     # phase efficiency = (t_lo / t_hi) / (hi/lo).
@@ -389,6 +403,13 @@ runs alongside.
 **Scaling efficiency (median of {len(pairs)} per-pair ratios)** = {verdict}.
 Pair-level IQR {iqr:.3f}, IQR/median {rel_iqr:.2f}; per-pair range
 [{min(effs):.3f}, {max(effs):.3f}].
+
+Steal-balanced view ({len(bal)}/{len(pairs)} pairs with both-runs steal ≤3%
+and |Δsteal| ≤1 point — external interference hit both halves alike):
+median efficiency {'**' + format(bal_med, '.3f') + '**' if bal_med is not None else 'n/a'}
+{('(' + ', '.join(format(e, '.3f') for e in sorted(bal_effs)) + ')') if bal_effs else ''}.
+A pair whose two runs saw very different steal measures the co-tenant, not
+the engine; the per-run steal%% is recorded objectively for every run.
 {phase_rows}{phase_note}
 Secondary evidence: the controlled decomposition in
 `BENCH/SCALING_NOTES.md` (kernel-only scaling 0.958; extraction-stage
