@@ -111,6 +111,14 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int,
             "--master", f"local[{cores}]",
             "--driver-memory", "60g",  # 90g OOM-killed the JVM at 97GB RSS on the 125GB box
             "--conf", f"spark.sql.shuffle.partitions={cores}",
+            # the bench corpus is a few hundred MB, so the default 128m
+            # maxPartitionBytes bin-packs the whole scan into ~3 splits —
+            # a serial scan+join bottleneck IDENTICAL at both levels that
+            # floors measured efficiency (observed: hi ≈ lo absolute
+            # throughput while the host-ceiling probe scaled 3.2x). A real
+            # lake scan yields thousands of splits; 8m reproduces that
+            # shape (one split per file here) at both levels.
+            "--conf", "spark.sql.files.maxPartitionBytes=8m",
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
             "--conf", "spark.sql.session.timeZone=UTC",
