@@ -283,11 +283,16 @@ def run_paired(args, pages_path: str) -> None:
     rewritten after every completed pair (kill-safe). Each pair co-records
     the host-ceiling kernel probe (same window, same CPU sets)."""
     lo, hi = args.levels
-    pairs: list[dict] = []
     raw_path = os.path.join(REPO, "BENCH", "scaling_paired_raw.jsonl")
-    open(raw_path, "w").close()
+    # ACCUMULATE across invocations: pairs are i.i.d. ratio samples, so a
+    # later session (or a later round) extends n instead of restarting it
+    pairs: list[dict] = []
+    if os.path.exists(raw_path):
+        with open(raw_path) as f:
+            pairs = [json.loads(l) for l in f if l.strip()]
+    i0 = (max((p["i"] for p in pairs), default=-1)) + 1
     corpus_glob = os.path.join(pages_path, "*.parquet")
-    for i in range(args.pairs):
+    for i in range(i0, i0 + args.pairs):
         order = (lo, hi) if i % 2 == 0 else (hi, lo)
         ceiling = kernel_ceiling((lo, hi), corpus_glob)
         res: dict[int, dict] = {}
