@@ -492,6 +492,11 @@ paired protocol as the headline).
 
 Raw per-pair records: `BENCH/scaling_paired_raw.jsonl`.
 """
+    # durable hand-written disclosure notes survive the per-pair rewrite
+    notes = os.path.join(REPO, "BENCH", "BASELINE_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += "\n" + f.read()
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out, "w") as f:
         f.write(md)
