@@ -219,22 +219,25 @@ class FrontierEngine:
         # shuffle-hash join on url_norm (pages bucketed at write time).
         fetch_cols = ["url_norm", "url_hash", "host", "priority", "idx_id", "seq"]
         sched_small = scheduled.select(*fetch_cols)
-        if n_pending_in <= self.broadcast_row_limit:
-            sched_small = F.broadcast(sched_small)
-        else:
+        use_broadcast = n_pending_in <= self.broadcast_row_limit
+        if not use_broadcast:
             # pending_in is only an upper bound: the schedule itself is
             # budget-bounded (≤ budget × hosts) and typically tiny even
             # when the frontier is huge — exactly the regime the broadcast
             # was built for. One count() on the already-persisted schedule
             # decides precisely (and eagerly materializes the cache the
             # fetch join reuses).
-            if scheduled.count() <= self.broadcast_row_limit:
-                sched_small = F.broadcast(sched_small)
+            use_broadcast = scheduled.count() <= self.broadcast_row_limit
+        if use_broadcast:
+            sched_small = F.broadcast(sched_small)
+        # NOT persisted: ``html`` flows through this frame exactly once, into
+        # the extraction UDF. Caching it here paid a second columnar encode
+        # of every fetched page's html per round — pure memory-subsystem
+        # traffic (the scarce resource at both 100 TB and on this host).
+        # Fetched-key reuses (status marks, missing anti join) read the
+        # html-free ``proc`` cache below instead.
         fetched_rows = sched_small.join(
             pages_prepared.select("url_norm", "url", "warc_ts", "html"), "url_norm", "inner"
-        ).persist()
-        missing = scheduled.select("url_norm", "url_hash", "host", "priority", "idx_id").join(
-            fetched_rows.select("url_norm"), "url_norm", "left_anti"
         )
 
         import os
@@ -250,20 +253,46 @@ class FrontierEngine:
 
         _t = _time.perf_counter()
 
+        if os.environ.get("FRONTIER_PROFILE"):
+            # Diagnostic sub-phase attribution (opt-in: the staged counts
+            # add actions, slightly distorting the fused-phase number, so
+            # never on in the headline protocol). Each frame is persisted
+            # anyway — the staged count materializes the same cache the
+            # fused action would have built, splitting the lazy chain at
+            # its shuffle barriers.
+            unseen.count()
+            _t = _mark("p_seen_bloom", _t)
+            sched_all.count()
+            _t = _mark("p_robots_schedule", _t)
+
         # 5. process fetched pages (extraction pipeline; idx_id from page
-        # identity). Salted host-hash repartition to 2×cores before the heavy
-        # UDF: the shuffled volume is only the scheduled subset (budget-
-        # bounded), and 2 waves of smaller tasks keep the stage tail flat.
+        # identity). In the broadcast-fetch regime the join output inherits
+        # the pages scan/cache partitioning — hash-random in url space, so
+        # host-skew-free by construction — and scan, broadcast probe and
+        # extraction UDF fuse into ONE stage with no shuffle touching html.
+        # Only the shuffle-join fallback (frontier too big to bound the
+        # schedule) still salts: there the exchange exists anyway, and hot
+        # hosts would otherwise concentrate in single post-shuffle tasks.
+        # ``html`` is dropped BEFORE the persist: downstream consumers
+        # (marks, links, counters, meta/payload projections) never read it,
+        # so caching it would pay a columnar encode per round for bytes
+        # nobody decodes — and proc is the ONLY per-round cache of fetched
+        # pages (the join output itself is deliberately unpersisted above).
         n_part = spark.sparkContext.defaultParallelism * 2
         proc = pipeline.processed(
-            fetched_rows, id_prefix=self.id_prefix, repartition_to=n_part
-        ).persist()
+            fetched_rows,
+            id_prefix=self.id_prefix,
+            repartition_to=None if use_broadcast else n_part,
+        ).drop("html").persist()
         # materialize the extraction cache BEFORE the fused counters job:
         # its tagged-union branches (new_frontier via discovered links, and
         # the docs branch) both read proc, and concurrent branches of one
         # job would otherwise compute the heavy UDF twice in parallel.
         proc.count()
         _t = _mark("seen_schedule_fetch_extract", _t)
+        missing = scheduled.select("url_norm", "url_hash", "host", "priority", "idx_id").join(
+            proc.select("url_norm"), "url_norm", "left_anti"
+        )
         meta = pipeline.meta_docs(proc).sortWithinPartitions("idx_id")
         payload = pipeline.payload_docs(proc).sortWithinPartitions("idx_id")
 
@@ -293,7 +322,7 @@ class FrontierEngine:
             F.lit(status).alias("status"), F.lit(round_no).cast("int").alias("round"), "idx_id",
         )
         settled_delta = (
-            mark(fetched_rows, "fetched")
+            mark(proc, "fetched")
             .unionByName(mark(missing, "missing"))
             .unionByName(mark(dup, "dup"))
             .unionByName(mark(blocked, "skipped_robots"))
@@ -400,7 +429,7 @@ class FrontierEngine:
         if timing_on:
             print(f"[frontier-timing] round {round_no}: {phases}", flush=True)
             counters["phases"] = phases  # machine-readable (scaling harness)
-        for df in (unseen, sched_all, fetched_rows, proc, settled_delta, pending_new):
+        for df in (unseen, sched_all, proc, settled_delta, pending_new):
             df.unpersist()
         return counters
 

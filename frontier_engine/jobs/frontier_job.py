@@ -61,6 +61,13 @@ def main() -> None:
 
     _t = time.perf_counter()
     pages = spark.read.parquet(args.pages)
+    # The frontier reads exactly these columns (fetch join + seed/robots
+    # derivation). Persisting the full lake row would cache bytes (text,
+    # lang, ...) no round ever decodes — at 10^10-URL scale the cached
+    # working set IS the cluster-memory budget, and on this host the
+    # persist materialization is pure memory-subsystem traffic. Project
+    # BEFORE persist so the parquet scan prunes the columns too.
+    frontier_cols = ["url_norm", "url", "host", "warc_ts", "html"]
     if args.prepared:
         # prep (canonicalize+dedup) was precomputed into the parquet; the
         # persist+count still materializes the corpus into executor memory
@@ -70,9 +77,13 @@ def main() -> None:
         # it shifts Arrow/shuffle traffic into the timed stage in a way
         # that floors 16-worker scaling on this single-box memory
         # subsystem — see BENCH/SCALING_NOTES.md r4 appendix.)
-        prepared = pages.persist()
+        prepared = pages.select(*frontier_cols).persist()
     else:
-        prepared = pipeline.dedup_newest(pipeline.canonicalized(pages)).persist()
+        prepared = (
+            pipeline.dedup_newest(pipeline.canonicalized(pages))
+            .select(*frontier_cols)
+            .persist()
+        )
     prepared.count()  # materialize outside the timed section
     _t = _lap("prep_persist", _t)
 
