@@ -307,6 +307,13 @@ def run_paired(args, pages_path: str) -> None:
         if len(res) < 2:
             continue
         eff = res[hi]["urls_per_sec"] / (res[lo]["urls_per_sec"] * (hi / lo))
+        try:  # provenance: pairs are only i.i.d. samples of ONE engine
+            rev = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            rev = "?"
         pair = {
             "i": i,
             "order": f"{order[0]}->{order[1]}",
@@ -314,6 +321,7 @@ def run_paired(args, pages_path: str) -> None:
             "hi": res[hi],
             "eff": round(eff, 3),
             "ceiling": ceiling,
+            "engine_rev": rev,
         }
         pairs.append(pair)
         print(
