@@ -293,8 +293,24 @@ class FrontierEngine:
         missing = scheduled.select("url_norm", "url_hash", "host", "priority", "idx_id").join(
             proc.select("url_norm"), "url_norm", "left_anti"
         )
-        meta = pipeline.meta_docs(proc).sortWithinPartitions("idx_id")
-        payload = pipeline.payload_docs(proc).sortWithinPartitions("idx_id")
+
+        # Counter-driven partition sizing for every round-delta frame that
+        # gets cached or written (no count() job — the parent snapshot's
+        # pending_out bounds settled ∪ leftover, and scheduled/fetched/
+        # meta/payload are budget-bounded subsets of it). The deltas are
+        # unions/projections of upstream caches and would otherwise inherit
+        # the SUM of their parents' partition counts — dozens of near-empty
+        # partitions whose per-task scheduling (fused counters job) and
+        # per-file parquet overhead (commit) is a fixed per-round cost that
+        # caps small-round scaling. At 10^10-frontier round sizes the same
+        # formula keeps ≥ cluster parallelism AND right-sizes lake files;
+        # coalesce is narrow (no shuffle) either way, and coalescing BEFORE
+        # sortWithinPartitions preserves the sink's per-partition ordering.
+        def _sized(df: DataFrame, est_rows: int = n_pending_in) -> DataFrame:
+            return df.coalesce(int(min(max(1, est_rows // 65536 + 1), n_part)))
+
+        meta = _sized(pipeline.meta_docs(proc)).sortWithinPartitions("idx_id")
+        payload = _sized(pipeline.payload_docs(proc)).sortWithinPartitions("idx_id")
 
         # 6. discover links → next round's pending candidates (resolve +
         # canonicalize fused into one Arrow stage)
@@ -317,11 +333,27 @@ class FrontierEngine:
         # status log, newly-admitted hashes APPEND to the known set, and only
         # the pending working set (which shrinks as the wave settles) is
         # replaced. History is never rewritten.
+        #
+        # Every round-delta frame is COALESCED to a counter-driven width
+        # before it is cached or written: the frames are unions/projections
+        # of upstream caches and would otherwise inherit the SUM of their
+        # parents' partition counts — dozens of near-empty partitions whose
+        # per-task scheduling (in the fused counters job) and per-file
+        # parquet overhead (in the commit) is a fixed per-round cost that
+        # caps small-round scaling. The estimate is the parent snapshot's
+        # pending_out (already in hand — no count() job): settled ∪ leftover
+        # ⊆ pending, and scheduled/fetched/meta/payload are budget-bounded
+        # subsets of it. At 10^10-frontier round sizes the same formula
+        # keeps ≥ cluster parallelism AND right-sizes lake files — a
+        # coalesce is narrow (no shuffle) either way.
+        def _sized(df: DataFrame, est_rows: int = n_pending_in) -> DataFrame:
+            return df.coalesce(int(min(max(1, est_rows // 65536 + 1), n_part)))
+
         mark = lambda df, status: df.select(
             "url_norm", "url_hash", "host", "priority",
             F.lit(status).alias("status"), F.lit(round_no).cast("int").alias("round"), "idx_id",
         )
-        settled_delta = (
+        settled_delta = _sized(
             mark(proc, "fetched")
             .unionByName(mark(missing, "missing"))
             .unionByName(mark(dup, "dup"))
