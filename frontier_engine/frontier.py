@@ -340,15 +340,8 @@ class FrontierEngine:
         # parents' partition counts — dozens of near-empty partitions whose
         # per-task scheduling (in the fused counters job) and per-file
         # parquet overhead (in the commit) is a fixed per-round cost that
-        # caps small-round scaling. The estimate is the parent snapshot's
-        # pending_out (already in hand — no count() job): settled ∪ leftover
-        # ⊆ pending, and scheduled/fetched/meta/payload are budget-bounded
-        # subsets of it. At 10^10-frontier round sizes the same formula
-        # keeps ≥ cluster parallelism AND right-sizes lake files — a
-        # coalesce is narrow (no shuffle) either way.
-        def _sized(df: DataFrame, est_rows: int = n_pending_in) -> DataFrame:
-            return df.coalesce(int(min(max(1, est_rows // 65536 + 1), n_part)))
-
+        # caps small-round scaling. (`_sized` defined above, before
+        # meta/payload.)
         mark = lambda df, status: df.select(
             "url_norm", "url_hash", "host", "priority",
             F.lit(status).alias("status"), F.lit(round_no).cast("int").alias("round"), "idx_id",
@@ -372,12 +365,17 @@ class FrontierEngine:
         # anti vs known only: every url_hash ever admitted (pending at any
         # point) is in frontier_known — 8 B/row, bloom-prefilterable at scale
         new_pending = discovered.join(known.select("url_hash"), "url_hash", "left_anti")
-        pending_new = leftover.unionByName(new_pending).persist()
+        # discovered is bounded by fetched × links/page; 2× pending_in is a
+        # serviceable no-job estimate for leftover ∪ new_pending (sizing is
+        # a perf hint — an off-by-constant just changes rows/partition)
+        pending_new = _sized(
+            leftover.unionByName(new_pending), est_rows=2 * n_pending_in
+        ).persist()
         # seen is APPEND-ONLY: per-round scheduled sets are disjoint by
         # construction (this round's candidates were seen-filtered), so no
         # distinct/rewrite of the accumulated set is ever needed — O(round)
         # IO instead of O(crawl) per round (Iceberg append semantics).
-        seen_delta = scheduled.select("url_hash", "url_norm")
+        seen_delta = _sized(scheduled.select("url_hash", "url_norm"))
         round_shards = urlseen.build_shards(
             scheduled.select("url_hash"), self.n_shards, self.bloom_bits
         )
@@ -385,10 +383,10 @@ class FrontierEngine:
             urlseen.merge_shards(shards, round_shards) if seen_total > 0 else round_shards
         )
 
-        schedule_out = scheduled.select(
+        schedule_out = _sized(scheduled.select(
             F.lit(round_no).cast("int").alias("round"),
             "host", "seq", "url_norm", "idx_id", "priority",
-        )
+        ))
 
         # ALL round metrics in ONE aggregate job over a tagged union of the
         # persisted frames (the Metrics.counter analog, process.py:120).
@@ -446,7 +444,7 @@ class FrontierEngine:
             },
             append_tables={
                 "frontier_log": settled_delta,
-                "frontier_known": new_pending.select("url_hash"),
+                "frontier_known": _sized(new_pending.select("url_hash"), 2 * n_pending_in),
                 "seen": seen_delta,
                 "schedule": schedule_out,
                 "meta_docs": meta,
