@@ -110,6 +110,26 @@ class TestFrontierRounds:
             # snapshot (the old design wrote pending+log+history here)
             assert snap_rows("frontier", sid) is None
 
+    def test_round_delta_writes_are_sized(self, run3):
+        """Partition-sizing gate: round-delta tables are coalesced to a
+        counter-driven width before write (~64k rows/partition), so a
+        small round writes a SINGLE parquet file per table — not one
+        near-empty file per inherited upstream partition. (At large round
+        sizes the same formula keeps >= cluster parallelism; this pins
+        the small end, where per-file cost capped measured scaling.)"""
+        import glob
+        import os
+
+        eng, counters = run3
+        for c in counters:
+            sid = c["round"] + 1  # snapshot 0 = init
+            for table in ("frontier_log", "frontier_pending", "seen",
+                          "schedule", "meta_docs", "payload_docs"):
+                path = os.path.join(eng.store.root, "data", table, f"snap-{sid}")
+                files = glob.glob(os.path.join(path, "*.parquet"))
+                # every tiny-round delta (<64k rows) must land in ONE file
+                assert len(files) == 1, (table, sid, len(files))
+
     def test_frontier_table_view(self, spark, run3):
         """pending ∪ log view is consistent with counters and has no
         duplicate settled rows."""
