@@ -294,21 +294,32 @@ class FrontierEngine:
             proc.select("url_norm"), "url_norm", "left_anti"
         )
 
-        # Counter-driven partition sizing for every round-delta frame that
-        # gets cached or written (no count() job — the parent snapshot's
-        # pending_out bounds settled ∪ leftover, and scheduled/fetched/
-        # meta/payload are budget-bounded subsets of it). The deltas are
-        # unions/projections of upstream caches and would otherwise inherit
-        # the SUM of their parents' partition counts — dozens of near-empty
-        # partitions whose per-task scheduling (fused counters job) and
-        # per-file parquet overhead (commit) is a fixed per-round cost that
-        # caps small-round scaling. At 10^10-frontier round sizes the same
-        # formula keeps ≥ cluster parallelism AND right-sizes lake files;
-        # coalesce is narrow (no shuffle) either way, and coalescing BEFORE
-        # sortWithinPartitions preserves the sink's per-partition ordering.
+        # Counter-driven partition sizing for round-delta WRITES (no
+        # count() job — the parent snapshot's pending_out bounds settled ∪
+        # leftover, and scheduled/fetched/meta/payload are budget-bounded
+        # subsets of it). The deltas are unions/projections of upstream
+        # caches and would otherwise inherit the SUM of their parents'
+        # partition counts — dozens of near-empty parquet files per commit,
+        # a fixed per-round cost that caps small-round scaling.
+        #
+        # CRITICAL placement rule, measured the hard way: coalesce ONLY on
+        # the write side of a persist boundary (or on pure projections of
+        # a cache), never upstream of real compute. coalesce() propagates
+        # through narrow chains, and when AQE broadcasts the small side of
+        # an anti join the whole chain above it becomes narrow — a
+        # pre-persist coalesce(1) then serializes the anti join, the cache
+        # scans, even the link-canonicalize Arrow UDF into one task
+        # (measured: 10-16 s fused counters job degrading to 62-86 s,
+        # intermittent with AQE's runtime broadcast decision). At 10^10
+        # round sizes the same formula yields ≥ cluster parallelism, so
+        # the write files stay right-sized either way.
         def _sized(df: DataFrame, est_rows: int = n_pending_in) -> DataFrame:
             return df.coalesce(int(min(max(1, est_rows // 65536 + 1), n_part)))
 
+        # meta/payload are write-only pure projections of the materialized
+        # proc cache — coalescing them merges cached partitions, no
+        # recompute; coalesce BEFORE sortWithinPartitions preserves the
+        # sink's per-partition ordering.
         meta = _sized(pipeline.meta_docs(proc)).sortWithinPartitions("idx_id")
         payload = _sized(pipeline.payload_docs(proc)).sortWithinPartitions("idx_id")
 
@@ -332,21 +343,14 @@ class FrontierEngine:
         # 7. new state — O(round delta) writes: settled rows APPEND to the
         # status log, newly-admitted hashes APPEND to the known set, and only
         # the pending working set (which shrinks as the wave settles) is
-        # replaced. History is never rewritten.
-        #
-        # Every round-delta frame is COALESCED to a counter-driven width
-        # before it is cached or written: the frames are unions/projections
-        # of upstream caches and would otherwise inherit the SUM of their
-        # parents' partition counts — dozens of near-empty partitions whose
-        # per-task scheduling (in the fused counters job) and per-file
-        # parquet overhead (in the commit) is a fixed per-round cost that
-        # caps small-round scaling. (`_sized` defined above, before
-        # meta/payload.)
+        # replaced. History is never rewritten. Persists keep NATURAL
+        # parallelism (the fused counters job materializes them); the
+        # commit below writes `_sized(...)` views of the caches.
         mark = lambda df, status: df.select(
             "url_norm", "url_hash", "host", "priority",
             F.lit(status).alias("status"), F.lit(round_no).cast("int").alias("round"), "idx_id",
         )
-        settled_delta = _sized(
+        settled_delta = (
             mark(proc, "fetched")
             .unionByName(mark(missing, "missing"))
             .unionByName(mark(dup, "dup"))
@@ -365,12 +369,7 @@ class FrontierEngine:
         # anti vs known only: every url_hash ever admitted (pending at any
         # point) is in frontier_known — 8 B/row, bloom-prefilterable at scale
         new_pending = discovered.join(known.select("url_hash"), "url_hash", "left_anti")
-        # discovered is bounded by fetched × links/page; 2× pending_in is a
-        # serviceable no-job estimate for leftover ∪ new_pending (sizing is
-        # a perf hint — an off-by-constant just changes rows/partition)
-        pending_new = _sized(
-            leftover.unionByName(new_pending), est_rows=2 * n_pending_in
-        ).persist()
+        pending_new = leftover.unionByName(new_pending).persist()
         # seen is APPEND-ONLY: per-round scheduled sets are disjoint by
         # construction (this round's candidates were seen-filtered), so no
         # distinct/rewrite of the accumulated set is ever needed — O(round)
@@ -387,6 +386,15 @@ class FrontierEngine:
             F.lit(round_no).cast("int").alias("round"),
             "host", "seq", "url_norm", "idx_id", "priority",
         ))
+
+        if os.environ.get("FRONTIER_PROFILE"):
+            # split the fused counters job's inputs (opt-in, distorts the
+            # fused-phase number): settled materialization vs the
+            # link-discovery UDF chain behind pending_new
+            settled_delta.count()
+            _t = _mark("p_settled_materialize", _t)
+            pending_new.count()
+            _t = _mark("p_pending_links_udf", _t)
 
         # ALL round metrics in ONE aggregate job over a tagged union of the
         # persisted frames (the Metrics.counter analog, process.py:120).
@@ -439,12 +447,24 @@ class FrontierEngine:
         counters["seen_total"] = seen_total + n_scheduled
         self.store.commit(
             tables={
-                "frontier_pending": pending_new,
+                # sized views over the ALREADY-MATERIALIZED caches (the
+                # counters job ran first): coalesce here merges cached
+                # partitions for the write — no recompute, no serialized
+                # upstream chain
+                "frontier_pending": _sized(pending_new, 2 * n_pending_in),
                 "urlseen_shards": new_shards,
             },
             append_tables={
-                "frontier_log": settled_delta,
-                "frontier_known": _sized(new_pending.select("url_hash"), 2 * n_pending_in),
+                "frontier_log": _sized(settled_delta),
+                # new-round rows carry round == round_no+1 (leftover keeps
+                # its admission round ≤ round_no), so the known-set delta
+                # reads the pending cache — the old `new_pending.select`
+                # lineage re-ran the whole link-canonicalize UDF chain
+                # inside the commit
+                "frontier_known": _sized(
+                    pending_new.where(F.col("round") == round_no + 1).select("url_hash"),
+                    2 * n_pending_in,
+                ),
                 "seen": seen_delta,
                 "schedule": schedule_out,
                 "meta_docs": meta,
