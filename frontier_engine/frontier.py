@@ -313,15 +313,20 @@ class FrontierEngine:
         # intermittent with AQE's runtime broadcast decision). At 10^10
         # round sizes the same formula yields ≥ cluster parallelism, so
         # the write files stay right-sized either way.
-        def _sized(df: DataFrame, est_rows: int = n_pending_in) -> DataFrame:
-            return df.coalesce(int(min(max(1, est_rows // 65536 + 1), n_part)))
+        def _sized(df: DataFrame, est_rows: int = n_pending_in,
+                   rows_per_part: int = 65536) -> DataFrame:
+            return df.coalesce(int(min(max(1, est_rows // rows_per_part + 1), n_part)))
 
         # meta/payload are write-only pure projections of the materialized
         # proc cache — coalescing them merges cached partitions, no
         # recompute; coalesce BEFORE sortWithinPartitions preserves the
-        # sink's per-partition ordering.
-        meta = _sized(pipeline.meta_docs(proc)).sortWithinPartitions("idx_id")
-        payload = _sized(pipeline.payload_docs(proc)).sortWithinPartitions("idx_id")
+        # sink's per-partition ordering. Their rows are WIDE (payload
+        # carries body + full_body, ~tens of KB/row), so the sizing target
+        # is byte-informed: 64k wide rows in one file is a ~GB single-task
+        # parquet encode that serializes the commit (measured 81 s at
+        # local[4]); 8k rows/file lands in the 100-250 MB lake sweet spot.
+        meta = _sized(pipeline.meta_docs(proc), rows_per_part=16384).sortWithinPartitions("idx_id")
+        payload = _sized(pipeline.payload_docs(proc), rows_per_part=8192).sortWithinPartitions("idx_id")
 
         # 6. discover links → next round's pending candidates (resolve +
         # canonicalize fused into one Arrow stage)
