@@ -85,7 +85,11 @@ def _gc_from_eventlog(ev_dir: str) -> dict | None:
     gc_ms = 0
     cpu_ns = 0
     run_ms = 0
-    files = [p for p in glob.glob(os.path.join(ev_dir, "*")) if os.path.isfile(p)]
+    # Spark 4 rolling writer nests files: <dir>/eventlog_v2_<appid>/events_*
+    files = [
+        p for p in glob.glob(os.path.join(ev_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
     if not files:
         return None
     for path in files:
