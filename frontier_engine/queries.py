@@ -1201,24 +1201,45 @@ def meta_header_spill(spark, sf_dir):
     ).withColumnsRenamed({"key": "k", "value": "v"})
 
 
-def _lang_chain_dispatch_sql() -> str:
+def _lang_chain_oracle_sql() -> str:
+    """The chain's step expressions (shared verbatim with the engine via
+    analyzers.dispatch_chain_step_sqls) as a chain of MATERIALIZED CTEs —
+    one per step. `AS MATERIALIZED` is load-bearing: each step references
+    its input column many times, so a plain subselect/CTE chain gets
+    optimizer-inlined with multiplicative text growth (the same explosion
+    the engine dodges with chained projections + an early empty-term
+    filter — see analyzers.analyze_text); materialization pins each step
+    to linear size. The empty-term filter sits after step 0 in both
+    engines — later steps cannot empty a nonempty token (property-tested,
+    test_kernels steps-never-empty)."""
     from frontier_engine import analyzers as A
 
-    return A.dispatch_chain_sql("__tok", "lang", A.STEMMED_LANGS)
-
-
-@q(
-    "lang_analyzer_chain",
-    f"""
-    SELECT doc_id, lang, term, count(*) AS n FROM (
-      SELECT doc_id, lang, {_lang_chain_dispatch_sql()} AS term FROM (
+    steps = A.dispatch_chain_step_sqls("__tok", "lang", A.STEMMED_LANGS)
+    ctes = [
+        """s_tok AS MATERIALIZED (
         SELECT doc_id, lang,
-               unnest(string_split_regex(text, '[^\\p{{L}}\\p{{M}}\\p{{Nd}}'']+')) AS __tok
-        FROM documents) WHERE length(__tok) > 0)
-    WHERE length(term) > 0
+               unnest(string_split_regex(text, '[^\\p{L}\\p{M}\\p{Nd}'']+')) AS __tok
+        FROM documents)""",
+        f"""s_0 AS MATERIALIZED (
+        SELECT doc_id, lang, {steps[0]} AS __tok
+        FROM (SELECT * FROM s_tok WHERE length(__tok) > 0))""",
+        "s_0f AS MATERIALIZED (SELECT * FROM s_0 WHERE length(__tok) > 0)",
+    ]
+    prev = "s_0f"
+    for k, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s_{k} AS MATERIALIZED "
+            f"(SELECT doc_id, lang, {step} AS __tok FROM {prev})"
+        )
+        prev = f"s_{k}"
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id, lang, __tok AS term, count(*) AS n FROM {prev}
     GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@q("lang_analyzer_chain", _lang_chain_oracle_sql())
 def lang_analyzer_chain(spark, sf_dir):
     """Per-language analyzer chains (data_index.py:725-976): tokenize →
     lower → [elision] → [minimal/light stemmer] → accent fold, dispatched on

@@ -237,63 +237,131 @@ class TestExactStemmers:
             ("consigli", "consigl"), ("figli", "figli"),  # len<6
         ],
         "sv": [
-            ("bilarna", "bil"), ("flickorna", "flick"), ("huset", "hus"),
+            # bilarna → bilarn: Lucene's shipped 4-char list has 'arne'
+            # (not 'arna'), so -arna falls through to the 1-char strip
+            ("bilarna", "bilarn"), ("flickorna", "flick"), ("huset", "hus"),
             ("bilar", "bil"), ("händelser", "händ"), ("bilens", "bil"),
+            ("pojkarne", "pojk"), ("klockorna", "klock"),
+        ],
+        # RSLP-S plural step (exact; committed exception lists)
+        "pt": [
+            ("casas", "casa"), ("balões", "balão"), ("normais", "normal"),
+            ("papéis", "papel"), ("barris", "barril"), ("mães", "mãe"),
+            ("mais", "mais"), ("bons", "bom"), ("lápis", "lápis"),
+            ("males", "male"),      # 'les' min-stem 3 fails → generic -s
+            ("país", "país"), ("casa", "casa"),
+        ],
+        # Dolamic–Savoy light (multi-step; transcription-derived)
+        "ru": [
+            ("головами", "голов"), ("красная", "красн"),
+            ("военный", "воен"),    # ый strip then нн collapse
+            ("степь", "степ"), ("книги", "книг"), ("дом", "дом"),
+            ("хорошего", "хорош"), ("историями", "истор"),
+        ],
+        "hu": [
+            ("házakban", "haz"),    # fold → -ban → plural -ak
+            ("kertben", "kert"), ("autók", "aut"), ("emberek", "ember"),
+            ("házat", "haz"), ("ház", "haz"),
+        ],
+        "fi": [
+            ("taloissa", "talo"), ("kirjoissa", "kirjo"),
+            ("taloineenkin", "talo"),  # clitic -kin then -neen
+            ("kaunis", "kaun"), ("järvi", "jarv"), ("tie", "tie"),
         ],
     }
 
-    def test_golden_vectors_spark(self, spark):
+    @staticmethod
+    def _stem_spark(spark, lang, words):
         from pyspark.sql import functions as F
 
-        from frontier_engine.analyzers import stem_sql
+        from frontier_engine.analyzers import stem_step_fns
 
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        for fn in stem_step_fns(lang):
+            df = df.withColumn("w", F.expr(fn("w")))
+        return [r.w for r in df.collect()]
+
+    @staticmethod
+    def _stem_duckdb(con, lang, word):
+        from frontier_engine.analyzers import _sq, stem_step_fns
+
+        body = f"SELECT {_sq(word)} AS w"
+        for fn in stem_step_fns(lang):
+            body = f"SELECT {fn('w')} AS w FROM ({body})"
+        return con.sql(body).fetchone()[0]
+
+    def test_golden_vectors_spark(self, spark):
         for lang, pairs in self.GOLDEN.items():
-            df = spark.createDataFrame([(w,) for w, _ in pairs], "w string")
-            got = [r.s for r in df.select(F.expr(stem_sql("w", lang)).alias("s")).collect()]
+            got = self._stem_spark(spark, lang, [w for w, _ in pairs])
             want = [s for _, s in pairs]
             assert got == want, f"{lang}: {list(zip([w for w, _ in pairs], got, want))}"
 
     def test_golden_vectors_duckdb(self):
         import duckdb
 
-        from frontier_engine.analyzers import _sq, stem_sql
-
         con = duckdb.connect()
         for lang, pairs in self.GOLDEN.items():
             for w, want in pairs:
-                got = con.sql(
-                    f"SELECT {stem_sql(_sq(w), lang)} AS s"
-                ).fetchone()[0]
+                got = self._stem_duckdb(con, lang, w)
                 assert got == want, f"{lang}: {w} -> {got}, want {want}"
 
     def test_spark_duckdb_agree_on_random_tokens(self, spark):
         """Cross-engine agreement beyond the golden set: pseudo-random
-        letter strings through every exact stemmer must stem identically
-        in both engines (the portability contract the oracle rides on)."""
+        letter strings through every stemmer (single- and multi-step) must
+        stem identically in both engines (the portability contract the
+        oracle rides on)."""
         import random
 
         import duckdb
-        from pyspark.sql import functions as F
 
-        from frontier_engine.analyzers import EXACT_STEM_SQL, _sq, stem_sql
+        from frontier_engine.analyzers import STEMMED_LANGS
 
         rng = random.Random(99)
-        alpha = "abcdefghijklmnopqrstuvwxyzéäöüàñç"
+        alpha = "abcdefghijklmnopqrstuvwxyzéäöüàñçатиовяь"
         words = [
             "".join(rng.choice(alpha) for _ in range(rng.randrange(2, 12)))
             for _ in range(300)
         ]
         con = duckdb.connect()
-        df = spark.createDataFrame([(w,) for w in words], "w string")
-        for lang in EXACT_STEM_SQL:
-            got_spark = [
-                r.s for r in df.select(F.expr(stem_sql("w", lang)).alias("s")).collect()
-            ]
-            got_duck = [
-                con.sql(f"SELECT {stem_sql(_sq(w), lang)} AS s").fetchone()[0]
-                for w in words
-            ]
+        for lang in STEMMED_LANGS:
+            got_spark = self._stem_spark(spark, lang, words)
+            got_duck = [self._stem_duckdb(con, lang, w) for w in words]
             assert got_spark == got_duck, f"{lang} diverged between engines"
+
+    def test_stem_steps_never_empty_nonempty_input(self):
+        """The invariant analyze_text's early empty-term filter rides on:
+        every stemmer/fold step (everything after the step-0 lower+elision
+        normalizer) maps a NONEMPTY token to a NONEMPTY token — each rule's
+        length guard keeps at least one char. Exhaustive-ish: random tokens
+        of every length 1..12 over a mixed alphabet, plus the guards'
+        boundary lengths via pure-suffix tokens."""
+        import random
+
+        import duckdb
+
+        from frontier_engine.analyzers import STEMMED_LANGS, _sq, stem_step_fns
+
+        rng = random.Random(7)
+        alpha = "asnteki'яньыиоü"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(ln))
+            for ln in range(1, 13)
+            for _ in range(15)
+        ]
+        # adversarial: tokens that ARE a bare suffix (s, ões, ами, kin, …)
+        words += ["s", "ns", "ões", "les", "ами", "нн", "ь", "kin", "ko",
+                  "nak", "ak", "k", "ssa", "eiden", "arne", "ies", "aux"]
+        con = duckdb.connect()
+        for lang in STEMMED_LANGS:
+            cur = list(words)
+            for k, fn in enumerate(stem_step_fns(lang)):
+                nxt = []
+                for lo in range(0, len(cur), 50):  # chunked: bounded SQL text
+                    sel = ", ".join(fn(_sq(w)) for w in cur[lo:lo + 50])
+                    nxt.extend(con.sql(f"SELECT {sel}").fetchone())
+                bad = [w for w, s in zip(words, nxt) if len(s) == 0]
+                assert not bad, f"{lang} step {k} emptied {bad[:3]!r}"
+                cur = nxt
 
 
 class TestRegistryContract:
