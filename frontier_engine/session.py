@@ -50,6 +50,22 @@ def _local_dir() -> str:
     return d
 
 
+def _submit_master() -> str | None:
+    """The master spark-submit injected into the JVM system properties, if
+    any. Builder options BEAT the submit line (measured: a builder
+    .master('local[4]') under `spark-submit --master local-cluster[2,1,2048]`
+    runs local[4] — same precedence trap as spark.local.dir, see
+    BENCH/run_scaling.py), so get_spark must NOT set .master() when one was
+    provided externally, or every spark-submit deployment silently collapses
+    back to single-JVM local mode."""
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().get("spark.master", None)
+    except Exception:
+        return None
+
+
 def get_spark(
     cores: int | None = None,
     app: str = "frontier_engine",
@@ -59,8 +75,9 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    submit_master = _submit_master()
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(submit_master or f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
