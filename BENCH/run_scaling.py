@@ -192,6 +192,12 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int,
             "--conf", "spark.sql.files.maxPartitionBytes=8m",
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
+            # columnar-cache batch build buffers scale with rows×row-size:
+            # the 10000-row default is a ~300 MB single-task allocation on
+            # this ~30 KB/row corpus — an OOM inside a 3 GB multi-JVM
+            # executor heap and avoidable heap pressure everywhere. 2048
+            # rows ≈ 60 MB. Identical at both levels.
+            "--conf", "spark.sql.inMemoryColumnarStorage.batchSize=2048",
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
             "--py-files", zip_path,

@@ -50,20 +50,17 @@ def _local_dir() -> str:
     return d
 
 
-def _submit_master() -> str | None:
-    """The master spark-submit injected into the JVM system properties, if
-    any. Builder options BEAT the submit line (measured: a builder
-    .master('local[4]') under `spark-submit --master local-cluster[2,1,2048]`
-    runs local[4] — same precedence trap as spark.local.dir, see
-    BENCH/run_scaling.py), so get_spark must NOT set .master() when one was
-    provided externally, or every spark-submit deployment silently collapses
-    back to single-JVM local mode."""
-    try:
-        from pyspark import SparkConf
-
-        return SparkConf().get("spark.master", None)
-    except Exception:
-        return None
+def _under_spark_submit() -> bool:
+    """True when this python driver was launched BY spark-submit (the JVM
+    gateway pre-exists and exports its port). Builder options BEAT the
+    submit line (measured: a builder .master('local[4]') under
+    `spark-submit --master local-cluster[2,1,2048]` runs local[4] — the
+    same precedence trap as spark.local.dir, see BENCH/run_scaling.py), and
+    the submit conf is NOT visible to a fresh python-side SparkConf()
+    (measured NONE under Spark 4), so the only safe move is to not set
+    .master() at all here — a master-less builder inherits the submit
+    master (measured: local-cluster[2,1,2048] passes through)."""
+    return "PYSPARK_GATEWAY_PORT" in os.environ
 
 
 def get_spark(
@@ -75,10 +72,11 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    submit_master = _submit_master()
+    b = SparkSession.builder
+    if not _under_spark_submit():
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(submit_master or f"local[{cores}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
