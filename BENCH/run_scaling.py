@@ -114,9 +114,18 @@ def _gc_from_eventlog(ev_dir: str) -> dict | None:
     }
 
 
-# Aggregate executor memory, equal at both levels (the north_rule scales
-# executor COUNT, not cluster memory-per-core): lo → 4 x 12g, hi → 16 x 3g.
-_EXEC_MEM_TOTAL_MB = 49152
+# Per-executor memory, CONSTANT across levels — the north_rule scales
+# executor COUNT ("N and 4N executor clusters"); on a real cluster every
+# executor keeps the same cores/heap and the AGGREGATE grows 4x. The
+# r5 first attempt held aggregate memory equal (lo 4x12g vs hi 16x3g) and
+# measured the artifact it created: the prepared-table cache fits 4x12g
+# but thrashes 16x(3g*0.6) storage slices — hi burned 7.5x task-CPU and
+# was ABSOLUTELY slower (481 vs 608 urls/s, eff 0.198); the same run at
+# 16x6g recovered to 706 urls/s with the extraction phase faster than
+# lo's. Constant-per-executor sizing removes that artifact; the paired
+# job's corpus is sized so the LO-level cluster memory already holds the
+# cache comfortably (steady-state regime at both levels).
+_EXEC_MEM_MB = 8192
 
 
 def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int,
@@ -164,7 +173,7 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int,
         # it). local-cluster[n,cores,memMB] launches real Worker JVMs with
         # loopback-TCP shuffle — the closest in-sandbox stand-in for a
         # multi-executor cluster.
-        mem_mb = _EXEC_MEM_TOTAL_MB // cores
+        mem_mb = _EXEC_MEM_MB
         master = f"local-cluster[{cores},1,{mem_mb}]"
         driver_mem = "8g"  # driver holds counters only; data lives in executors
         mode_conf = ["--conf", f"spark.executor.memory={mem_mb}m"]
@@ -289,9 +298,12 @@ def main() -> None:
                          "PREPARED table) instead of regenerating")
     args = ap.parse_args()
     if args.pages is None:
-        args.pages = 600_000 if args.mode == "paired" else 1_200_000
+        # sized so the prepared-table cache (~10 GB decompressed columnar)
+        # fits the LO level's 4 x (8g x 0.6) storage with headroom — the
+        # steady-state cached regime at BOTH levels, no spill artifact
+        args.pages = 300_000 if args.mode == "paired" else 1_200_000
     if args.seeds is None:
-        args.seeds = 60_000 if args.mode == "paired" else 120_000
+        args.seeds = 30_000 if args.mode == "paired" else 120_000
     if args.rounds is None:
         args.rounds = 1 if args.mode == "paired" else 2
 
@@ -561,14 +573,16 @@ def write_paired_report(pairs: list[dict], args) -> None:
     exec_mode = pairs[0].get("exec", "local") if pairs else "local-cluster"
     if exec_mode == "local-cluster":
         exec_desc = (
-            f"MULTI-JVM executor processes: `local-cluster[{lo},1,{_EXEC_MEM_TOTAL_MB // lo}]` vs "
-            f"`local-cluster[{hi},1,{_EXEC_MEM_TOTAL_MB // hi}]` — N standalone Worker JVMs, 1 core + "
-            f"48g/N heap each, equal aggregate executor memory at both levels, loopback-TCP "
+            f"MULTI-JVM executor processes: `local-cluster[{lo},1,{_EXEC_MEM_MB}]` vs "
+            f"`local-cluster[{hi},1,{_EXEC_MEM_MB}]` — N standalone Worker JVMs, each 1 core + "
+            f"{_EXEC_MEM_MB // 1024}g heap (CONSTANT per-executor resources; the aggregate grows "
+            f"with N exactly as a real N → 4N cluster's does), loopback-TCP "
             f"shuffle, 8g driver. This is the configuration the north_rule describes "
-            f"(N → 4N *executors*) and it removes the audited single-JVM artifact "
-            f"(r4: one 60 GB heap holding the whole cached page set showed bimodal "
-            f"5×-CPU/15×-GC slow modes — SCALING_NOTES.md §5; here each executor "
-            f"holds ~1/N of the cache)."
+            f"(N → 4N *executors*) and it removes both prior artifacts: the r4 "
+            f"single-JVM GC bimodality (one 60 GB heap holding the whole cached page "
+            f"set — SCALING_NOTES.md §5) and the r5 equal-aggregate-memory thrash "
+            f"(hi-level 3 GB executors spilled the cache and burned 7.5× task-CPU; "
+            f"measured and documented in SCALING_NOTES.md §6)."
         )
     else:
         exec_desc = f"single-JVM `local[{lo}]` vs `local[{hi}]` (superseded r4 stand-in)."
