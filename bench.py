@@ -51,8 +51,10 @@ FRONTIER_ROUNDS = 2
 WARC_INGEST_PAGES = int(os.environ.get("BENCH_WARC_PAGES", "3000"))
 # a query whose first timed run reaches this is re-run for a median — this
 # host shows 2-5x single-shot swings (VERDICT r3 wrong #1: two rounds in a
-# row the official record under-reported the engine on single-shot heavies)
-HEAVY_SEC = 2.0
+# row the official record under-reported the engine on single-shot heavies).
+# 1.0s (VERDICT r4 wrong #3): a light query that regresses past ~1s now
+# gets a median too, never a single noisy sample.
+HEAVY_SEC = 1.0
 HEAVY_TRIALS = 3
 
 
@@ -254,6 +256,35 @@ def main() -> None:
         frontier_trials = [round(s, 3) for s, _ in sorted(trials)]
         timings["frontier_rounds"] = round(frontier_sec, 3)
         trials_map["frontier_rounds"] = frontier_trials
+
+        # multi-round stage (VERDICT r4 item 7): the 2-round number above is
+        # dominated by fixed per-round costs at demo size; a 3-round run on
+        # one store makes the round-over-round amortization claim VISIBLE in
+        # the official artifact (per-round urls/s trend, single timed pass —
+        # trend, not headline).
+        multi_store = tempfile.mkdtemp(prefix="bench_frontier_m_")
+        try:
+            eng_m = FrontierEngine(
+                spark, multi_store, n_shards=64, bloom_bits=1 << 20, budget=200
+            )
+            eng_m.init(seeds, robots)
+            per_round = []
+            t_all = time.perf_counter()
+            for _ in range(3):
+                t0 = time.perf_counter()
+                c = eng_m.run_round(prepared)
+                dt = time.perf_counter() - t0
+                per_round.append(
+                    {
+                        "sec": round(dt, 3),
+                        "urls": c["scheduled"] + c["fetched"],
+                        "urls_per_sec": round((c["scheduled"] + c["fetched"]) / dt, 2),
+                    }
+                )
+            timings["frontier_rounds_multi"] = round(time.perf_counter() - t_all, 3)
+            frontier_multi = per_round
+        finally:
+            shutil.rmtree(multi_store, ignore_errors=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -270,6 +301,9 @@ def main() -> None:
                 "cpus": cpus,
                 "frontier_urls_per_sec": round(urls / frontier_sec, 2),
                 "frontier_trials_sec": frontier_trials,
+                # per-round timings of the 3-round stage: fixed per-round
+                # cost amortizes as rounds proceed on one store
+                "frontier_rounds_multi": frontier_multi,
                 "pipeline_trials_sec": [round(s, 3) for s in sorted(pipe_secs)],
                 # every multi-trial query's raw trials + (max-min)/median:
                 # a noisy measurement window is now self-evident from the
@@ -281,7 +315,9 @@ def main() -> None:
                     "untimed warmup pass + median of 3 timed trials (frontier, "
                     "pipeline, warc_ingest, and every catalog query with first "
                     f"timed run >= {HEAVY_SEC}s); light catalog = warm single-shot; "
-                    "dispersion_rel_spread = (max-min)/median per multi-trial query"
+                    "dispersion_rel_spread = (max-min)/median per multi-trial query; "
+                    "frontier_rounds_multi = single timed 3-round pass on one store "
+                    "(per-round amortization trend, not a headline)"
                 ),
                 "frontier_urls": urls,
                 "pipeline_docs_per_sec": round(n_docs / pipe_sec, 2),

@@ -8,7 +8,8 @@ Each round (north_rule pipeline):
     3. schedule          per-host PQ, budget-capped        (politeness.py)
     4. "fetch"           equi join against the pages table (keep-newest)
     5. process           extraction pipeline               (pipeline.py)
-    6. discover          links → canonicalize → new pending candidates
+    6. discover          links → canonicalize → known-set bloom prefilter
+                         + exact left_anti → new pending candidates
     7. commit            IceLite snapshot: pending/shards replaced,
                          settled-log/known/seen/schedule/meta/payload
                          APPENDED, counters + per-partition lineage in the
@@ -32,9 +33,10 @@ schedules order by (priority DESC, idx_id ASC) per host. A killed job
 resumes from the last committed snapshot with an identical schedule
 (tests/test_frontier.py::test_resume_determinism).
 
-Scale: the only frontier-wide shuffles are the seen anti-join (bloom-pruned)
-and the per-host window/groupBy; the pages fetch join is an equi join on
-url_norm that AQE turns into a broadcast when the scheduled set is small.
+Scale: the only frontier-wide shuffles are the seen and known anti-joins
+(both bloom-pruned to their maybe-member survivors) and the per-host
+window/groupBy; the pages fetch join is an equi join on url_norm that AQE
+turns into a broadcast when the scheduled set is small.
 """
 
 from __future__ import annotations
@@ -136,7 +138,12 @@ class FrontierEngine:
         broadcast_row_limit: int = 8_000_000,
     ):
         self.spark = spark
-        self.store = IceLite(store_root)
+        # round-keyed append tables declare file stats so readers prune to
+        # the rounds they want (Iceberg manifest min/max semantics)
+        self.store = IceLite(
+            store_root,
+            stats_columns={"frontier_log": "round", "schedule": "round"},
+        )
         self.id_prefix = id_prefix
         self.n_shards = n_shards
         self.bloom_bits = bloom_bits
@@ -151,8 +158,8 @@ class FrontierEngine:
         return self.store.current_snapshot_id() is not None
 
     def init(self, seeds: DataFrame, robots: DataFrame) -> int:
-        """Snapshot 0: seeded pending set + known hashes + robots + empty
-        seen/shards."""
+        """Snapshot 0: seeded pending set + known hashes (+ their bloom
+        shards) + robots + empty seen/shards."""
         frontier = candidates_from_urls(seeds, round_no=0, id_prefix=self.id_prefix).persist()
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         empty_shards = self.spark.createDataFrame([], urlseen.SHARD_SCHEMA)
@@ -162,6 +169,9 @@ class FrontierEngine:
                 "frontier_pending": frontier,
                 "seen": empty_seen,
                 "urlseen_shards": empty_shards,
+                "known_shards": urlseen.build_shards(
+                    frontier.select("url_hash"), self.n_shards, self.bloom_bits
+                ),
                 "robots": robots,
             },
             append_tables={"frontier_known": frontier.select("url_hash")},
@@ -189,6 +199,7 @@ class FrontierEngine:
 
         pending = self._read("frontier_pending")
         known = self._read("frontier_known")
+        known_shards = self._read("known_shards")
         seen = self._read("seen")
         shards = self._read("urlseen_shards")
         robots = self._read("robots")
@@ -372,25 +383,48 @@ class FrontierEngine:
             [f.name for f in FRONTIER_SCHEMA.fields]
         )
         # anti vs known only: every url_hash ever admitted (pending at any
-        # point) is in frontier_known — 8 B/row, bloom-prefilterable at scale
-        new_pending = discovered.join(known.select("url_hash"), "url_hash", "left_anti")
+        # point) is in frontier_known — 8 B/row. Bloom-PREFILTERED like the
+        # seen path (same shard machinery, same exactness: the bloom prunes
+        # the definitely-unknown majority, only maybe-known rows reach the
+        # exact left_anti). Without this, the append-only known table —
+        # ~80 GB of hashes at 10^10 URLs — shuffles in full every round;
+        # with it the exact join input is ≈ |discovered ∩ known| + FPR·rest.
+        # known_shards is None only for stores created before this table
+        # existed — fall back to the plain exact anti join there.
+        if known_shards is not None:
+            new_pending = urlseen.filter_unseen(
+                discovered, known_shards, known, self.n_shards
+            )
+        else:
+            new_pending = discovered.join(known.select("url_hash"), "url_hash", "left_anti")
         pending_new = leftover.unionByName(new_pending).persist()
         # seen is APPEND-ONLY: per-round scheduled sets are disjoint by
         # construction (this round's candidates were seen-filtered), so no
         # distinct/rewrite of the accumulated set is ever needed — O(round)
         # IO instead of O(crawl) per round (Iceberg append semantics).
-        seen_delta = _sized(scheduled.select("url_hash", "url_norm"))
         round_shards = urlseen.build_shards(
             scheduled.select("url_hash"), self.n_shards, self.bloom_bits
         )
         new_shards = (
             urlseen.merge_shards(shards, round_shards) if seen_total > 0 else round_shards
         )
-
-        schedule_out = _sized(scheduled.select(
-            F.lit(round_no).cast("int").alias("round"),
-            "host", "seq", "url_norm", "idx_id", "priority",
-        ))
+        # known-set bloom kept in lockstep: this round's newly-admitted
+        # hashes (round == round_no+1 rows of the pending cache — the same
+        # cache-read trick as the frontier_known delta below) OR-merge into
+        # known_shards, so next round's discovered-link prefilter covers
+        # every admitted URL. Exactness is unaffected by bloom saturation
+        # (false positives only add rows to the exact join).
+        if known_shards is not None:
+            new_known_shards = urlseen.merge_shards(
+                known_shards,
+                urlseen.build_shards(
+                    pending_new.where(F.col("round") == round_no + 1).select("url_hash"),
+                    self.n_shards,
+                    self.bloom_bits,
+                ),
+            )
+        else:
+            new_known_shards = None
 
         if os.environ.get("FRONTIER_PROFILE"):
             # split the fused counters job's inputs (opt-in, distorts the
@@ -450,17 +484,27 @@ class FrontierEngine:
         }
         counters["pending_out"] = counters["skipped_budget"] + counters["discovered_new"]
         counters["seen_total"] = seen_total + n_scheduled
+        # Delta sizing uses the EXACT per-frame counts the fused counters
+        # job just computed — not the n_pending_in upper bound, which for
+        # the budget-bounded frames (seen/schedule: ≤ budget × hosts;
+        # known delta: discovered_new) is orders of magnitude too high and
+        # saturated the coalesce target at n_part, emitting n_part
+        # near-empty files per round.
+        n_settled = n_scheduled + n_dup + n_blocked
+        tables = {
+            # sized views over the ALREADY-MATERIALIZED caches (the
+            # counters job ran first): coalesce here merges cached
+            # partitions for the write — no recompute, no serialized
+            # upstream chain
+            "frontier_pending": _sized(pending_new, counters["pending_out"]),
+            "urlseen_shards": new_shards,
+        }
+        if new_known_shards is not None:
+            tables["known_shards"] = new_known_shards
         self.store.commit(
-            tables={
-                # sized views over the ALREADY-MATERIALIZED caches (the
-                # counters job ran first): coalesce here merges cached
-                # partitions for the write — no recompute, no serialized
-                # upstream chain
-                "frontier_pending": _sized(pending_new, 2 * n_pending_in),
-                "urlseen_shards": new_shards,
-            },
+            tables=tables,
             append_tables={
-                "frontier_log": _sized(settled_delta),
+                "frontier_log": _sized(settled_delta, n_settled),
                 # new-round rows carry round == round_no+1 (leftover keeps
                 # its admission round ≤ round_no), so the known-set delta
                 # reads the pending cache — the old `new_pending.select`
@@ -468,10 +512,16 @@ class FrontierEngine:
                 # inside the commit
                 "frontier_known": _sized(
                     pending_new.where(F.col("round") == round_no + 1).select("url_hash"),
-                    2 * n_pending_in,
+                    counters["discovered_new"],
                 ),
-                "seen": seen_delta,
-                "schedule": schedule_out,
+                "seen": _sized(scheduled.select("url_hash", "url_norm"), n_scheduled),
+                "schedule": _sized(
+                    scheduled.select(
+                        F.lit(round_no).cast("int").alias("round"),
+                        "host", "seq", "url_norm", "idx_id", "priority",
+                    ),
+                    n_scheduled,
+                ),
                 "meta_docs": meta,
                 "payload_docs": payload,
             },

@@ -30,9 +30,42 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _collect_file_stats(dir_path: str, column: str) -> dict[str, dict]:
+    """Per-file {rows, min, max} for one column from parquet footers (no
+    data scan). A file whose footer lacks stats for the column gets
+    min/max None — the pruned read keeps such files (safe)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fn in sorted(os.listdir(dir_path)):
+        if not fn.endswith(".parquet"):
+            continue
+        fp = os.path.join(dir_path, fn)
+        md = pq.ParquetFile(fp).metadata
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema != column:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out[fp] = {"col": column, "rows": md.num_rows, "min": lo, "max": hi}
+    return out
+
+
 class IceLite:
-    def __init__(self, root: str):
+    def __init__(self, root: str, stats_columns: Optional[dict[str, str]] = None):
+        """``stats_columns``: table → column whose per-FILE min/max (plus row
+        count) is recorded in the manifest at commit, Iceberg-manifest style,
+        enabling read-side file pruning (``read(..., prune=...)``). Footer
+        reads only — no data scan."""
         self.root = root
+        self.stats_columns = stats_columns or {}
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -62,15 +95,53 @@ class IceLite:
             sid = s.get("parent")
         return list(reversed(out))
 
-    def read(self, spark: SparkSession, table: str, snapshot_id: Optional[int] = None) -> Optional[DataFrame]:
-        """Read a table at a snapshot (default: current). None if absent."""
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: Optional[int] = None,
+        prune: Optional[tuple] = None,
+    ) -> Optional[DataFrame]:
+        """Read a table at a snapshot (default: current). None if absent.
+
+        ``prune=(column, lo, hi)``: open ONLY the files whose manifest
+        min/max for ``column`` intersects [lo, hi] (Iceberg file-stats
+        pruning — the planner never lists, opens, or schedules the skipped
+        files). Files with no recorded stats are always kept, so pruning is
+        safe on mixed tables; it is an IO optimization, not a filter — pair
+        it with the matching ``.where()`` for row-exact results."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return None
-        path = self.snapshot(sid)["tables"].get(table)
+        snap = self.snapshot(sid)
+        path = snap["tables"].get(table)
         if path is None:
             return None
-        return spark.read.parquet(*path) if isinstance(path, list) else spark.read.parquet(path)
+        dirs = path if isinstance(path, list) else [path]
+        if prune is not None:
+            col, lo, hi = prune
+            stats = snap.get("stats", {}).get(table, {})
+            kept, total = [], 0
+            for d in dirs:
+                for fn in sorted(os.listdir(d)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    total += 1
+                    fp = os.path.join(d, fn)
+                    s = stats.get(fp)
+                    if (
+                        s is None
+                        or s.get("col") != col
+                        or s.get("min") is None
+                        or s.get("max") is None
+                        or (s["min"] <= hi and s["max"] >= lo)
+                    ):
+                        kept.append(fp)
+            if not kept:
+                # nothing qualifies: preserve the schema, read zero rows
+                return spark.read.parquet(*dirs).limit(0)
+            return spark.read.parquet(*kept)
+        return spark.read.parquet(*dirs)
 
     # ------------------------------------------------------------ commits
 
@@ -115,15 +186,25 @@ class IceLite:
 
         def _write(job):
             _, df, path, _ = job
-            # snap_id is strictly newer than every COMMITTED snapshot
-            # (single-writer protocol), so an existing dir at this path can
-            # only be an orphan from a crash between data writes and the
-            # current.json commit point — clear it, then errorifexists
-            # still guards against concurrent writers racing the same id
+            # snap_id is strictly newer than every COMMITTED snapshot, so
+            # under the store's single-writer contract an existing dir at
+            # this path can only be an orphan from a crash between data
+            # writes and the current.json commit point. Atomically RENAME
+            # it aside before deleting: a contract-violating concurrent
+            # same-id writer then still fails loudly on its own
+            # errorifexists write (its freshly-written dir is never
+            # silently deleted out from under it — whoever wins the rename
+            # removes only the dir it renamed).
             if os.path.exists(path):
                 import shutil
 
-                shutil.rmtree(path, ignore_errors=True)
+                orphan = f"{path}.orphan-{os.getpid()}-{time.time_ns()}"
+                try:
+                    os.rename(path, orphan)
+                except OSError:
+                    pass  # another process already moved it aside
+                else:
+                    shutil.rmtree(orphan, ignore_errors=True)
             df.write.mode("errorifexists").parquet(path)
 
         if len(jobs) > 1:
@@ -141,12 +222,35 @@ class IceLite:
                 manifest_tables[name] = prev + [path]
             else:
                 manifest_tables[name] = path
+        # File-level column stats (Iceberg manifest semantics): per new
+        # file, row count + min/max of the table's declared stats column,
+        # from parquet FOOTERS only. Parent entries are carried forward for
+        # files still live in this snapshot (append tables keep history;
+        # replaced tables drop dead files), so one manifest read answers
+        # pruning for the whole file list.
+        parent_stats = self.snapshot(parent).get("stats", {}) if parent is not None else {}
+        stats: dict[str, dict] = {}
+        for name, col in self.stats_columns.items():
+            live = manifest_tables.get(name)
+            if live is None:
+                continue
+            live_dirs = set(live if isinstance(live, list) else [live])
+            carried = {
+                f: s
+                for f, s in parent_stats.get(name, {}).items()
+                if os.path.dirname(f) in live_dirs
+            }
+            for jname, _, path, _ in jobs:
+                if jname == name:
+                    carried.update(_collect_file_stats(path, col))
+            stats[name] = carried
         manifest = {
             "id": snap_id,
             "parent": parent,
             "committed_at": time.time(),
             "note": note,
             "tables": manifest_tables,
+            "stats": stats,
             "counters": counters or {},
             "lineage": lineage or [],
         }

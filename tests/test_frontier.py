@@ -148,6 +148,48 @@ class TestFrontierRounds:
         )
         assert dup_settled == 0
 
+    def test_known_set_bloom_lockstep(self, spark, run3):
+        """Discovered-link dedup is bloom-prefiltered (VERDICT r4 item 4).
+        Invariants: (a) no candidate is ever admitted twice — frontier_known
+        stays globally duplicate-free; a bloom false NEGATIVE on the fresh
+        path would re-admit a known URL and break this; (b) known_shards
+        covers every known hash (every admitted delta was OR-merged in), so
+        the prefilter can never lose a candidate."""
+        from frontier_engine import urlseen
+
+        eng, _ = run3
+        known = eng.store.read(spark, "frontier_known")
+        assert known.groupBy("url_hash").count().where("count > 1").count() == 0
+        shards = eng.store.read(spark, "known_shards")
+        assert shards is not None and shards.count() > 0
+        marked = urlseen.mark_maybe_seen(known, shards, 8)
+        assert marked.where(~F.col("maybe_seen")).count() == 0
+
+    def test_file_stats_pruned_read(self, spark, run3):
+        """IceLite manifests carry per-file min/max stats for round-keyed
+        append tables (VERDICT r4 item 5): a pruned read OPENS only the
+        qualifying files (asserted on inputFiles), and returns exactly the
+        rows the equivalent full-scan filter returns."""
+        import os
+
+        eng, counters = run3
+        k = counters[1]["round"]
+        pruned = eng.store.read(spark, "frontier_log", prune=("round", k, k))
+        full = eng.store.read(spark, "frontier_log")
+        expect_dir = os.path.join(
+            eng.store.root, "data", "frontier_log", f"snap-{k + 1}"
+        )
+        opened = [f.removeprefix("file://") for f in pruned.inputFiles()]
+        assert opened and all(os.path.dirname(f) == expect_dir for f in opened)
+        # three round snapshots, one (sized) file each: prune skips two
+        assert len(opened) == 1 and len(full.inputFiles()) == 3
+        assert pruned.count() == full.where(F.col("round") == k).count() > 0
+        sp = eng.store.read(spark, "schedule", prune=("round", k, k))
+        assert sp.count() == counters[1]["scheduled"]
+        # out-of-range prune opens nothing but keeps the schema
+        none = eng.store.read(spark, "frontier_log", prune=("round", 99, 99))
+        assert none.count() == 0 and none.columns == full.columns
+
     def test_lineage_recorded(self, run3):
         eng, _ = run3
         snaps = eng.store.snapshots()

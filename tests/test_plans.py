@@ -130,6 +130,35 @@ class TestPlanShapes:
         assert "FlatMapCoGroupsInPandas" in plan
         assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
 
+    def test_exact_anti_join_input_is_bloom_survivors(self, spark):
+        """filter_unseen's EXACT anti join must consume only the bloom's
+        maybe-member survivors — never the full candidate set (the known/
+        seen tables are ~80 GB of hashes at 10^10 URLs; the prune is what
+        keeps the per-round shuffle ∝ |survivors|). Asserted two ways:
+        plan shape (the LeftAnti's probe side filters on maybe_seen) and
+        measured IO (survivor count ≈ known ∩ candidates + FPR·rest)."""
+        from frontier_engine import urlseen
+
+        cand = (
+            spark.range(1000)
+            .selectExpr("concat('http://h/', id) AS url_norm")
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+        )
+        known = cand.limit(10).select("url_hash")
+        shards = urlseen.build_shards(known, 8, 1 << 14)
+        out = urlseen.filter_unseen(cand, shards, known.select("url_hash"), 8)
+
+        plan = optimized_of(out)
+        join_at = plan.index("Join LeftAnti")
+        probe = "\n".join(plan[join_at:].splitlines()[1:4])
+        assert "maybe_seen" in probe, plan
+        # measured prune: exact-join input ≪ candidates (10 known + FP)
+        survivors = urlseen.mark_maybe_seen(cand, shards, 8).where("maybe_seen")
+        assert survivors.count() < 50
+        # exactness: identical result to the unpruned anti join
+        exact = {r.url_hash for r in cand.join(known, "url_hash", "left_anti").collect()}
+        assert {r.url_hash for r in out.collect()} == exact
+
 
 class TestKmeansPlan:
     def test_assignment_is_shuffle_free(self, spark):
