@@ -176,7 +176,29 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int,
         mem_mb = _EXEC_MEM_MB
         master = f"local-cluster[{cores},1,{mem_mb}]"
         driver_mem = "8g"  # driver holds counters only; data lives in executors
-        mode_conf = ["--conf", f"spark.executor.memory={mem_mb}m"]
+        mode_conf = [
+            "--conf", f"spark.executor.memory={mem_mb}m",
+            # Each executor JVM must size its service pools (GC, netty,
+            # JIT) for ITS cores (1), not the taskset width it happens to
+            # see — exactly what a real cluster's container does. Without
+            # this, 16 executors each start 16-core-sized pools: measured
+            # 36x task-CPU inflation on the extraction stage (248 vs 6.9 s
+            # for identical work) and an extraction phase of 146.8 s that
+            # drops to 32.8 s with this one flag (SCALING_NOTES.md §7).
+            # +UseG1GC: with ActiveProcessorCount=1 the JVM's ergonomics
+            # pick SerialGC, whose full-heap pauses on an 8g executor took
+            # gc/cpu to 1.28 (measured, r5 pair 0 post-APC); G1 with the
+            # same APC measures 0.054. Real 1-core containers run G1 too.
+            "--conf", "spark.executor.extraJavaOptions="
+                      "-XX:ActiveProcessorCount=1 -XX:+UseG1GC",
+            # constant-size driver view at BOTH levels: the driver's
+            # per-round planning/scheduling cost is part of every round;
+            # letting it scale with the taskset width would give the two
+            # levels different fixed costs for reasons a real cluster
+            # (same driver node at N and 4N) does not have.
+            "--conf", "spark.driver.extraJavaOptions="
+                      "-XX:ActiveProcessorCount=2 -XX:+UseG1GC",
+        ]
     else:
         master = f"local[{cores}]"
         driver_mem = "60g"  # 90g OOM-killed the JVM at 97GB RSS on the 125GB box
@@ -303,7 +325,10 @@ def main() -> None:
         # steady-state cached regime at BOTH levels, no spill artifact
         args.pages = 300_000 if args.mode == "paired" else 1_200_000
     if args.seeds is None:
-        args.seeds = 30_000 if args.mode == "paired" else 120_000
+        # seeds sized so the python extraction work (the genuinely parallel
+        # fraction) dominates the round over the fixed per-round
+        # plan/schedule/commit latency at the lo level
+        args.seeds = 100_000 if args.mode == "paired" else 120_000
     if args.rounds is None:
         args.rounds = 1 if args.mode == "paired" else 2
 
