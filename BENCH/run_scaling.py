@@ -222,6 +222,17 @@ def run_job(cores: int, pages_path: str, seeds: int, budget: int, rounds: int,
             # shape (one split per file here) at both levels.
             "--conf", "spark.sql.files.maxPartitionBytes=8m",
             "--conf", "spark.sql.adaptive.enabled=true",
+            # The 3s default locality wait is a FIXED latency per task
+            # placement miss. A production round at 10^10 scale runs
+            # minutes-long stages that amortize it to nothing; the
+            # deliberately pair-sized job runs ~73 sub-second stages per
+            # round, and the number of preferred-location misses GROWS
+            # with executor count — a benchmark-size artifact that taxed
+            # only the 4N level. Measured on identical hi jobs: 858 →
+            # 2007 urls/s (commit phase 58.7 → 12.8 s, counters 64.2 →
+            # 22.8 s); the lo level is python-bound and barely moves
+            # (SCALING_NOTES.md §8). Applied identically at both levels.
+            "--conf", "spark.locality.wait=0",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
             # columnar-cache batch build buffers scale with rows×row-size:
             # the 10000-row default is a ~300 MB single-task allocation on
