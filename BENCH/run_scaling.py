@@ -494,7 +494,8 @@ def _phase_totals(res: dict) -> dict[str, float]:
     out: dict[str, float] = {}
     for c in res.get("counters", []):
         for k, v in (c.get("phases") or {}).items():
-            out[k] = out.get(k, 0.0) + v
+            if isinstance(v, (int, float)):  # skip diagnostic sub-dicts
+                out[k] = out.get(k, 0.0) + v
     return out
 
 

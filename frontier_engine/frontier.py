@@ -326,7 +326,21 @@ class FrontierEngine:
         # the write files stay right-sized either way.
         def _sized(df: DataFrame, est_rows: int = n_pending_in,
                    rows_per_part: int = 65536) -> DataFrame:
-            return df.coalesce(int(min(max(1, est_rows // rows_per_part + 1), n_part)))
+            target = int(min(max(1, est_rows // rows_per_part + 1), n_part))
+            # coalesce merges by PULLING sibling partitions into the
+            # surviving tasks — on multi-JVM executors that is remote
+            # block fetch of the whole frame. Worth it when it collapses
+            # dozens of near-empty files into a few; NOT worth it when the
+            # frame already sits near the target (measured: the payload
+            # write's 15→12 merge cost 15.2 s at 16 one-core executors vs
+            # 6.9 s at 4 — cross-executor traffic for a 20 % file-count
+            # trim). Skip unless the merge at least halves the file count
+            # (tiny rounds: any cur ≥ 2 with target 1 still collapses to
+            # one file — the sized-write gate in test_frontier.py holds).
+            cur = df.rdd.getNumPartitions()
+            if cur < 2 * target:
+                return df
+            return df.coalesce(target)
 
         # meta/payload are write-only pure projections of the materialized
         # proc cache — coalescing them merges cached partitions, no
@@ -402,11 +416,16 @@ class FrontierEngine:
         # construction (this round's candidates were seen-filtered), so no
         # distinct/rewrite of the accumulated set is ever needed — O(round)
         # IO instead of O(crawl) per round (Iceberg append semantics).
-        round_shards = urlseen.build_shards(
-            scheduled.select("url_hash"), self.n_shards, self.bloom_bits
-        )
-        new_shards = (
-            urlseen.merge_shards(shards, round_shards) if seen_total > 0 else round_shards
+        # FUSED build+merge (extend_shards): one shuffle + one pandas stage
+        # instead of build → bitmap-shuffle → merge. Stage depth is a fixed
+        # per-round commit latency that grows with executor count (measured
+        # 28 s vs 4.7 s for the known-set chain at 16 vs 4 one-core
+        # executors); the fused op is bit-identical (property-tested).
+        new_shards = urlseen.extend_shards(
+            shards if seen_total > 0 else None,
+            scheduled.select("url_hash"),
+            self.n_shards,
+            self.bloom_bits,
         )
         # known-set bloom kept in lockstep: this round's newly-admitted
         # hashes (round == round_no+1 rows of the pending cache — the same
@@ -415,13 +434,11 @@ class FrontierEngine:
         # every admitted URL. Exactness is unaffected by bloom saturation
         # (false positives only add rows to the exact join).
         if known_shards is not None:
-            new_known_shards = urlseen.merge_shards(
+            new_known_shards = urlseen.extend_shards(
                 known_shards,
-                urlseen.build_shards(
-                    pending_new.where(F.col("round") == round_no + 1).select("url_hash"),
-                    self.n_shards,
-                    self.bloom_bits,
-                ),
+                pending_new.where(F.col("round") == round_no + 1).select("url_hash"),
+                self.n_shards,
+                self.bloom_bits,
             )
         else:
             new_known_shards = None
@@ -451,7 +468,15 @@ class FrontierEngine:
             ))
             .unionByName(tag(proc, "docs", F.col("doc.skip_reason"), F.lit("")))
         )
-        rows = tagged.groupBy("kind", "k1", "k2").agg(F.count(F.lit(1)).alias("n")).collect()
+        agg = tagged.groupBy("kind", "k1", "k2").agg(F.count(F.lit(1)).alias("n"))
+        if os.environ.get("FRONTIER_PROFILE"):
+            # Driver-side Catalyst cost of the fused job, separated from its
+            # execution: force analyze→optimize→physical planning without
+            # running anything (AQE's runtime re-planning still lands in the
+            # exec mark). The same QueryExecution is reused by the collect.
+            agg._jdf.queryExecution().executedPlan()
+            _t = _mark("p_counters_planning", _t)
+        rows = agg.collect()
         status_counts = {
             (r["k1"], int(r["k2"])): r["n"] for r in rows if r["kind"] == "status"
         }
@@ -532,6 +557,11 @@ class FrontierEngine:
         )
         _mark("commit_writes", _t)
         if timing_on:
+            if os.environ.get("FRONTIER_PROFILE"):
+                ws = getattr(self.store, "last_write_secs", None)
+                if ws:  # per-table commit attribution (diagnostic only:
+                    # non-numeric phase values stay out of ledger runs)
+                    phases["p_write_secs"] = ws
             print(f"[frontier-timing] round {round_no}: {phases}", flush=True)
             counters["phases"] = phases  # machine-readable (scaling harness)
         for df in (unseen, sched_all, proc, settled_delta, pending_new):

@@ -116,6 +116,86 @@ def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("shard_id").applyInPandas(merge, SHARD_SCHEMA)
 
 
+def extend_shards(
+    shards: Optional[DataFrame],
+    hashed: DataFrame,
+    n_shards: int = 64,
+    m_bits: int = 1 << 20,
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Fused ``merge_shards(shards, build_shards(hashed))`` in ONE shuffle +
+    ONE pandas stage (bit-identical result — property-tested).
+
+    The unfused chain is three Spark stages per maintained bloom table
+    (hash shuffle → build groups → bitmap shuffle → merge groups), and the
+    frontier maintains two such tables (seen + known) inside every round
+    commit. Each extra stage is a fixed DAG-scheduling + python-worker
+    round-trip per round — measured 28 s for the known-set chain at 16
+    one-core executors vs 4.7 s at 4 (the per-stage latency grows with
+    executor count while the work per stage is constant). Fusing halves the
+    stage depth; at 10^10 scale the same fusion saves a full pass over the
+    round's admitted-hash shuffle.
+
+    ``shards=None`` ≡ ``build_shards(hashed)`` (first-round case). Mixed
+    rows travel one union: bitmap rows carry ``filter_bytes`` (url_hash
+    NULL), hash rows carry ``url_hash`` (filter_bytes NULL); the group
+    kernel ORs the former and scatters the latter."""
+    k = _k_hashes(fpr)
+
+    hash_rows = (
+        hashed.select("url_hash")
+        .withColumn("shard_id", shard_of(F.col("url_hash"), n_shards))
+        .select(
+            "shard_id",
+            F.col("url_hash").cast("long").alias("url_hash"),
+            F.lit(None).cast("binary").alias("filter_bytes"),
+            # 0-sentinels, NOT NULLs, for the long columns: a nullable long
+            # reaches pandas as float64, and xxhash64 values exceed 2^53 —
+            # a NULL-bearing url_hash column would round-trip through float
+            # and scatter the WRONG bloom bits (silent false negatives).
+            # Row kind is carried by filter_bytes nullity alone.
+            F.lit(0).cast("long").alias("n_items"),
+        )
+    )
+    rows = hash_rows
+    if shards is not None:
+        bitmap_rows = shards.select(
+            "shard_id",
+            F.lit(0).cast("long").alias("url_hash"),
+            "filter_bytes",
+            F.col("n_items").cast("long").alias("n_items"),
+        )
+        rows = rows.unionByName(bitmap_rows)
+
+    capacity = int(m_bits / optimal_bits_per_item(fpr))
+
+    def extend(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits8 = np.zeros(m_bits // 8, dtype=np.uint8)
+        n = 0
+        is_bitmap = pdf["filter_bytes"].notna()
+        for fb, ni in zip(pdf.loc[is_bitmap, "filter_bytes"], pdf.loc[is_bitmap, "n_items"]):
+            bits8 |= np.frombuffer(fb, dtype=np.uint8)
+            n += int(ni)
+        hashes = pdf.loc[~is_bitmap, "url_hash"].to_numpy(dtype=np.int64)
+        if len(hashes):
+            bits = np.unpackbits(bits8)
+            idx = _indices(hashes, m_bits, k)
+            bits[idx.ravel()] = True
+            bits8 = np.packbits(bits)
+            n += len(hashes)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "filter_bytes": [bits8.tobytes()],
+                "n_items": [n],
+                "capacity": [capacity],
+                "fpr": [fpr],
+            }
+        )
+
+    return rows.groupBy("shard_id").applyInPandas(extend, SHARD_SCHEMA)
+
+
 def mark_maybe_seen(candidates: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
     """Add ``maybe_seen`` to candidates via shard-cogrouped numpy bit test.
 

@@ -81,6 +81,29 @@ class TestUrlSeen:
         s = {r.shard_id: r.filter_bytes for r in single.collect()}
         assert m == s
 
+    def test_extend_shards_bit_identical_to_merge_of_build(self, spark):
+        """The fused one-stage extend_shards must equal the unfused
+        merge(prev, build(new)) BIT-FOR-BIT (it replaces that chain in the
+        round commit; any drift would silently change bloom membership)."""
+        prev_h = self._hashed(spark, [f"http://a.com/{i}" for i in range(200)])
+        new_h = self._hashed(spark, [f"http://b.com/{i}" for i in range(200)])
+        prev = urlseen.build_shards(prev_h, self.N_SHARDS, self.M_BITS)
+        unfused = urlseen.merge_shards(
+            prev, urlseen.build_shards(new_h, self.N_SHARDS, self.M_BITS)
+        )
+        fused = urlseen.extend_shards(prev, new_h, self.N_SHARDS, self.M_BITS)
+        u = {r.shard_id: (r.filter_bytes, r.n_items) for r in unfused.collect()}
+        f = {r.shard_id: (r.filter_bytes, r.n_items) for r in fused.collect()}
+        assert u == f
+
+    def test_extend_shards_none_prev_equals_build(self, spark):
+        h = self._hashed(spark, [f"http://c.com/{i}" for i in range(300)])
+        built = urlseen.build_shards(h, self.N_SHARDS, self.M_BITS)
+        fused = urlseen.extend_shards(None, h, self.N_SHARDS, self.M_BITS)
+        b = {r.shard_id: (r.filter_bytes, r.n_items) for r in built.collect()}
+        f = {r.shard_id: (r.filter_bytes, r.n_items) for r in fused.collect()}
+        assert b == f
+
     def test_filter_unseen_exact(self, spark):
         all_urls = [f"http://x.io/{i}" for i in range(300)]
         seen_urls = all_urls[:120]
