@@ -37,10 +37,22 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     ``nodes``: one column ``id``; ``edges``: columns ``a``, ``b``
     (undirected semantics; pass each pair once). Returns (id, cluster_id).
     """
+    # r6: the undirected edge set (and the node set it touches) is
+    # localCheckpoint-ed ONCE — it is read by every iteration's action, and
+    # each action compiles a fresh physical plan, so without materialization
+    # every round re-derives the caller's full edge lineage (for the LSH
+    # path: parquet scan + tokenize + md5 signatures) from scratch.
     und = edges.select("a", "b").unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id")).localCheckpoint()
+    ).distinct().localCheckpoint()
+    # Iterate ONLY over nodes that have at least one edge: a node with no
+    # neighbors never receives a nbr_min row, so its label provably stays
+    # `id` through every round — fold those back in at the end instead of
+    # dragging the (typically much larger) isolated majority through every
+    # join + checkpoint. `und` is symmetric, so its `a` side covers every
+    # endpoint.
+    edge_nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    labels = edge_nodes.select(F.col("id"), F.col("id").alias("cluster_id")).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["id"])
@@ -56,9 +68,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
                 ),
                 (F.col("nbr") < F.col("cluster_id")).alias("_changed"),
             )
-            .localCheckpoint()  # truncate lineage before the convergence action
+            # lazy checkpoint: the convergence count below materializes it,
+            # fusing checkpoint + convergence into ONE job per round (the
+            # eager checkpoint + limit(1).count pair was two)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -70,7 +85,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (labels would be partially propagated)"
         )
-    return labels
+    isolated = nodes.join(edge_nodes, "id", "left_anti").select(
+        F.col("id"), F.col("id").alias("cluster_id")
+    )
+    return labels.unionByName(isolated)
 
 
 def lsh_star_edges(bands: DataFrame) -> DataFrame:

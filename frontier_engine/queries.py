@@ -41,6 +41,42 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _parquet_scan_width(path: str) -> int:
+    """Effective max parallel scan tasks for a parquet path = total row
+    groups across its files. Spark splits files by byte ranges, but a split
+    only yields rows for row groups whose midpoint it contains — a
+    single-row-group file is effectively unsplittable no matter how many
+    byte-range splits the planner makes. Footer reads only, no data scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [path] if os.path.isfile(path) else glob.glob(os.path.join(path, "*.parquet"))
+    return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+
+
+def load_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + scale-adaptive scan fan-out for compute-heavy consumers
+    (guide §2.5, input skew: "one huge unsplittable file … repartition
+    immediately after the read"). The driver's tables are single-row-group
+    parquet files, so every scan-stage computation — tokenize, md5,
+    window partials — otherwise runs in ONE task regardless of cores. The
+    repartition is GATED on the measured scan width: when the layout
+    already yields at least half the cluster's parallelism (any realistic
+    multi-file table at scale), this is a plain ``load`` with zero added
+    shuffle — nothing here is tuned to local[32]."""
+    df = load(spark, sf_dir, table)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        width = _parquet_scan_width(f"{sf_dir}/{table}.parquet")
+    except Exception:
+        return df
+    if width < max(2, cores // 2):
+        return df.repartition(cores)
+    return df
+
+
 def _hash64(col):
     """Portable 32-bit-ish numeric hash from md5 (JVM-side, codegen'd)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
@@ -539,7 +575,7 @@ def rank_line_parse(spark, sf_dir):
 def webis_id_hash(spark, sf_dir):
     """Corpus-prefixed document identity hashing (webis_uuid shape,
     process.py:319-329) via portable md5."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     key = F.concat(F.lit("synth:"), F.col("doc_id").cast("string"))
     return d.select("doc_id", F.md5(key).alias("webis_md5"), _hash64(key).alias("id_hash"))
 
@@ -557,7 +593,7 @@ def webis_id_hash(spark, sf_dir):
 def salted_host_partition(spark, sf_dir):
     """Salted host-hash partitioning (north_star skew defense): partition id
     = (hash(host)*SALT + salt_i) mod N; distribution check as counts."""
-    e = load(spark, sf_dir, "events")
+    e = load_wide(spark, sf_dir, "events")
     host = F.concat(F.lit("site"), (F.col("user_id") % 40).cast("string"))
     p = (_hash64(host) * 7 + F.col("event_id") % 7) % 64
     return e.groupBy(p.alias("p")).agg(F.count(F.lit(1)).alias("n"))
@@ -597,7 +633,7 @@ def keyword_dedup_cap(spark, sf_dir):
 def dedup_exact(spark, sf_dir):
     """Exact near-normalized dedup: hash-groupBy on a canonicalized text
     fingerprint, keep min doc_id (map-side combinable; no pairwise work)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return d.groupBy(fp.alias("fp")).agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups")
@@ -619,15 +655,32 @@ _TOK_SQL = "SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(te
 def minhash_signature(spark, sf_dir):
     """MinHash signatures (4 hash family members) over distinct-token
     shingles; min-of-md5 is a valid permutation-free minhash family and is
-    engine-portable. Explode + partial-agg min: one shuffle on doc_id."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    engine-portable.
+
+    r6: per-doc mins computed with array_min over a transform of the token
+    array — ZERO shuffle, zero explode. The old explode + groupBy(doc_id)
+    planned as SortAggregate (min over strings has no fixed-width buffer, so
+    no hash agg), paying a full sort of every exploded token row twice
+    (partial + final) plus an exchange, for tokens that were co-located in
+    their source row all along. The token array is aliased in its own
+    projection so CollapseProject cannot inline the (expensive) split 4×.
+    The non-null filter reproduces explode's drop of null token arrays
+    (split of a non-null string is never null/empty)."""
+    d = load_wide(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("_toks"),
     )
-    return toks.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"mh{i}") for i in range(4)]
-    )
+
+    def _mh(i: int):
+        # single-parameter lambda: a (t, i) lambda would be the
+        # element+index transform form and shadow the loop variable
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform("_toks", lambda t: F.md5(F.concat(t, suffix)))
+        ).alias(f"mh{i}")
+
+    return toks.select("doc_id", *[_mh(i) for i in range(4)])
 
 
 @q(
@@ -647,14 +700,29 @@ def lsh_band_buckets(spark, sf_dir):
     agreeing on a whole band (2 hashes/band × 2 bands). Bucket-join replaces
     O(n²) pair comparison — the scale path for near-dup at 10^10 docs."""
     sig = minhash_signature(spark, sf_dir)
-    b0 = sig.select("doc_id", F.lit(0).alias("band"), F.concat("mh0", "mh1").alias("bucket"))
-    b1 = sig.select("doc_id", F.lit(1).alias("band"), F.concat("mh2", "mh3").alias("bucket"))
     return (
-        b0.unionByName(b1)
+        _sig_bands(sig)
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a minhash signature frame in ONE
+    pass: explode a 2-element struct array instead of unioning two
+    projections of ``sig``. The union form scanned the (now exchange-free)
+    signature subtree twice — with no Exchange underneath, ReuseExchange
+    cannot dedupe it, so every band recomputed the full split+md5 chain."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.concat("mh0", "mh1").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.concat("mh2", "mh3").alias("bucket")),
+            )
+        ).alias("_bb"),
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 # Jaccard similarity threshold for the exact near-dup verifier; the prefix
@@ -710,7 +778,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
     The LSH query above is the probabilistic alternative prefilter; this is
     the exact one."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
@@ -790,11 +858,11 @@ def dup_clusters(spark, sf_dir):
     from frontier_engine.dedup_cluster import connected_components, lsh_star_edges
 
     sig = minhash_signature(spark, sf_dir)
-    bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.concat("mh0", "mh1").alias("bucket")
-    ).unionByName(
-        sig.select("doc_id", F.lit(1).alias("band"), F.concat("mh2", "mh3").alias("bucket"))
-    )
+    # localCheckpoint: bands feeds a self-join (star edges) and, through the
+    # edges, EVERY connected-components iteration — without materialization
+    # each iteration's action re-derives the full split+md5 lineage from
+    # parquet (plans are recompiled per action, so no stage reuse applies)
+    bands = _sig_bands(sig).localCheckpoint()
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     labels = connected_components(nodes, lsh_star_edges(bands))
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
@@ -820,23 +888,32 @@ def _simhash_exprs_sql() -> str:
 def simhash16(spark, sf_dir):
     """16-bit SimHash: per-token md5-derived bit votes summed per doc; near-
     dups differ in few bits (hamming-ball join at scale). Portable bit source
-    = parity of ascii(md5 hex chars)."""
-    d = load(spark, sf_dir, "documents")
+    = parity of ascii(md5 hex chars).
+
+    r6: the md5 hex digest is materialized ONCE per token in a projection
+    between the explode and the hash agg, so the 16 partial_sum updates
+    read a 32-char column instead of each referencing md5(tok); the scan is
+    fanned out (load_wide) so the partial agg — where all the hashing
+    happens — runs at cluster parallelism instead of one task per input
+    file. (A zero-shuffle array-aggregate variant was A/B-measured slower —
+    1.14 s vs 0.84 s at sf1.0 — 16 interpreted array passes lose to the
+    codegen'd hash agg; kept the explode form as measured.)"""
+    d = load_wide(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
     )
+    hs = toks.select("doc_id", F.md5("tok").alias("h"))
     vote = lambda j: F.sum(
-        F.when(F.ascii(F.substring(F.md5("tok"), j, 1)) % 2 == 1, 1).otherwise(-1)
+        F.when(F.ascii(F.substring("h", j, 1)) % 2 == 1, 1).otherwise(-1)
     )
-    sim = None
     aggs = []
     for j in range(1, 17):
         aggs.append(F.when(vote(j) >= 0, F.lit(1 << (j - 1))).otherwise(F.lit(0)))
     expr = aggs[0]
     for a in aggs[1:]:
         expr = expr + a
-    return toks.groupBy("doc_id").agg(expr.alias("simhash"))
+    return hs.groupBy("doc_id").agg(expr.alias("simhash"))
 
 
 @q(
@@ -853,7 +930,7 @@ def simhash16(spark, sf_dir):
 def lang_stopword_score(spark, sf_dir):
     """SQL-expressible language-ID scoring (stopword hits per language);
     the full n-gram kernel (extract.detect_lang) is pytest-covered."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     en = F.array(*[F.lit(x) for x in ("the", "and", "of", "to", "in", "is")])
     de = F.array(*[F.lit(x) for x in ("der", "die", "das", "und", "ist", "nicht")])
@@ -882,7 +959,7 @@ def quality_score(spark, sf_dir):
     """Document quality heuristics (length / punctuation / token stats) —
     the training-pipeline quality gate, all JVM-side expressions. Ratios as
     floor-scaled integers (engine-portable; see scan_filter_project)."""
-    d = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    d = load_wide(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
     return d.select(
@@ -905,7 +982,7 @@ def quality_score(spark, sf_dir):
 def token_count_bpe(spark, sf_dir):
     """BPE-ish token counting via a word/number/symbol regex (portable
     across Java regex and RE2)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).alias(
@@ -927,7 +1004,7 @@ def token_count_bpe(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     """Canonical document fingerprint (ws-collapse + lowercase + hash) with a
     48-bit numeric form for range-partitioned storage."""
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return d.select(
         "doc_id",
@@ -973,7 +1050,7 @@ def ann_cosine_threshold(spark, sf_dir):
     L2 norm (subsumes the former embedding_norms entry)."""
     from frontier_engine.simsearch import cosine_to_query, l2_norm_col
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = cosine_to_query(emb.where(F.col("vec_id") != 0), qv, keep_cols=["embedding"])
     return (
@@ -997,7 +1074,7 @@ def ann_topk_per_label(spark, sf_dir):
     coarse centroid id; at scale the centroid assignment is a bucket join)."""
     from frontier_engine.simsearch import cosine_to_query
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = cosine_to_query(emb.where(F.col("vec_id") != 0), qv, keep_cols=["label"])
     w = Window.partitionBy("label").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -1053,7 +1130,7 @@ def kmeans_clusters(spark, sf_dir):
     = per-cluster size + centroid L2 norm."""
     from frontier_engine.simsearch import kmeans_lloyd
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     assign, cent = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
     sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
     norms = cent.groupBy("cluster").agg(
@@ -1099,11 +1176,14 @@ def ann_ivf_probe(spark, sf_dir):
     on the ROUNDED cosine + vec_id tie-break keeps the top-3 engine-portable."""
     from frontier_engine.simsearch import cosine_to_query, ivf_probe_cluster, kmeans_lloyd
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     assign, cent = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
     probe = ivf_probe_cluster(qv, cent, nprobe=2)
-    members = emb.join(assign, "vec_id").join(F.broadcast(probe), "cluster")
+    # assign carries (vec_id, cluster, embedding) — the old
+    # emb.join(assign, "vec_id") re-attached the embedding via a full
+    # corpus self-join shuffle; now the only join is the broadcast probe
+    members = assign.join(F.broadcast(probe), "cluster")
     scored = cosine_to_query(members, qv)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -1248,7 +1328,7 @@ def lang_analyzer_chain(spark, sf_dir):
     all JVM-side, zero Python in the loop."""
     from frontier_engine.analyzers import analyze_text
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     return (
         analyze_text(d, "text", "lang", ["doc_id"])
         .groupBy("doc_id", "lang", "term")
@@ -1335,7 +1415,7 @@ def bm25_scoring(spark, sf_dir):
     first principles: tf/df aggregations + broadcast idf join, no UDFs."""
     from frontier_engine.analyzers import bm25_scores
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     scores = bm25_scores(d, ["spark", "window", "query"])
     return scores.select("doc_id", F.floor(F.col("bm25") * 10000).cast("long").alias("bm25_e4"))
 
@@ -1420,7 +1500,7 @@ def lmj_lmd_scoring(spark, sf_dir):
     driver-evaluated (VERDICT r3 item 4)."""
     from frontier_engine.analyzers import lmj_lmd_scores
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     s = lmj_lmd_scores(d, list(_SIM_TERMS))
     return s.select(
         "doc_id",
@@ -1443,7 +1523,7 @@ def dfr_scoring(spark, sf_dir):
     """DFR g/l/h2 similarity (create_index_kibana.txt:14-19)."""
     from frontier_engine.analyzers import dfr_glh2_scores
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     return _sim_out(dfr_glh2_scores(d, list(_SIM_TERMS)), "dfr")
 
 
@@ -1472,7 +1552,7 @@ def dfi_ib_scoring(spark, sf_dir):
     (create_index_kibana.txt:29-38), fused over one shared stats pass."""
     from frontier_engine.analyzers import dfi_ib_scores
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     s = dfi_ib_scores(d, list(_SIM_TERMS))
     return s.select(
         "doc_id",
@@ -1493,7 +1573,7 @@ def scripted_tfidf_scoring(spark, sf_dir):
     (create_index_kibana.txt:20-28)."""
     from frontier_engine.analyzers import scripted_tfidf_scores
 
-    d = load(spark, sf_dir, "documents")
+    d = load_wide(spark, sf_dir, "documents")
     return _sim_out(scripted_tfidf_scores(d, list(_SIM_TERMS)), "tfidf")
 
 

@@ -24,6 +24,7 @@ their own hash partition. In-sandbox defaults are scaled down (64 shards,
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -51,10 +51,17 @@ class TestPlanShapes:
         assert "LeftAnti" in plan_of(df)
 
     def test_whole_stage_codegen_covers_relational_ops(self, spark):
-        df = Q.REGISTRY["quality_score"][0](spark, SF)
+        # content_filters: pure scan+filter+project, no exchange — its plan
+        # is not AQE-wrapped, so codegen spans are visible in explain.
+        # (quality_score, the previous subject, gained a scale-adaptive scan
+        # fan-out exchange in r6; AQE's pre-execution explain hides `*(n)`.)
+        df = Q.REGISTRY["content_filters"][0](spark, SF)
         plan = plan_of(df)
         assert "*(1)" in plan  # the `*(n)` prefix marks WholeStageCodegen spans
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        # quality_score keeps the no-row-Python discipline post-fan-out
+        plan_q = plan_of(Q.REGISTRY["quality_score"][0](spark, SF))
+        assert "BatchEvalPython" not in plan_q
 
     def test_extraction_has_single_arrow_stage(self, spark, pages_df):
         from frontier_engine import pipeline
