@@ -73,53 +73,63 @@ def candidates_from_urls(df: DataFrame, round_no: int, id_prefix: str,
                          resolve_base_col: str | None = None) -> DataFrame:
     """urls (+priority) → frontier rows (canonicalized, hashed, identified).
 
-    Two Arrow stages total: (resolve+)canonicalize before the dedup shuffle,
-    then one combined (host, idx_id) kernel after it — chaining separate
-    scalar UDFs would cost a python round-trip each.
+    ONE Arrow stage total (r6): (resolve+)canonicalize AND the (host,
+    idx_id) kernel run in a single pandas UDF before the dedup shuffle.
+    The r5 shape split them — canonicalize pre-shuffle, host/idx_id
+    post-dedup — to avoid identifying duplicate spellings twice, but each
+    python stage is a fixed JVM↔worker round trip per round and duplicate
+    spellings are a small fraction of discovered links, so the extra
+    kernel work on dups is far cheaper than a whole extra stage (guide
+    §4.1: you control how many times data crosses the boundary). host and
+    idx_id are pure functions of url_norm (+round), so ``any_value`` over
+    the url_norm group is deterministic in value.
 
     ``resolve_base_col``: if set, ``url`` holds raw hrefs resolved against
     this base-URL column first (link discovery path).
     """
 
+    def _identify(urls_norm: pd.Series) -> pd.DataFrame:
+        ids = []
+        for u in urls_norm:
+            src, off = derive_source(u)
+            ids.append(index_uuid(round_no * 1000, off, src, webis_uuid(id_prefix, u)))
+        return pd.DataFrame(
+            {"url_norm": urls_norm, "host": host_series(urls_norm), "idx_id": ids}
+        )
+
     if resolve_base_col:
 
-        @F.pandas_udf(T.StringType())
-        def _canon(base: pd.Series, href: pd.Series) -> pd.Series:
+        @F.pandas_udf("url_norm string, host string, idx_id string")
+        def _canon_id(base: pd.Series, href: pd.Series) -> pd.DataFrame:
             from urllib.parse import urljoin
 
             resolved = pd.Series(
                 [urljoin(b, h) if (b is not None and h is not None) else None for b, h in zip(base, href)],
                 index=href.index, dtype="object",
             )
-            return canonicalize_series(resolved)
+            return _identify(canonicalize_series(resolved))
 
-        canon_col = _canon(F.col(resolve_base_col), F.col("url"))
+        canon_col = _canon_id(F.col(resolve_base_col), F.col("url"))
     else:
 
-        @F.pandas_udf(T.StringType())
-        def _canon(urls: pd.Series) -> pd.Series:
-            return canonicalize_series(urls)
+        @F.pandas_udf("url_norm string, host string, idx_id string")
+        def _canon_id(urls: pd.Series) -> pd.DataFrame:
+            return _identify(canonicalize_series(urls))
 
-        canon_col = _canon(F.col("url"))
-
-    @F.pandas_udf("host string, idx_id string")
-    def _host_id(urls_norm: pd.Series) -> pd.DataFrame:
-        ids = []
-        for u in urls_norm:
-            src, off = derive_source(u)
-            ids.append(index_uuid(round_no * 1000, off, src, webis_uuid(id_prefix, u)))
-        return pd.DataFrame({"host": host_series(urls_norm), "idx_id": ids})
+        canon_col = _canon_id(F.col("url"))
 
     out = (
-        df.withColumn("url_norm", canon_col)
+        df.withColumn("_ci", canon_col)
         .withColumn("priority", F.coalesce(F.col(priority_col).cast("double"), F.lit(0.5)))
         # duplicate spellings of one page collapse here; keep max priority
-        .groupBy("url_norm")
-        .agg(F.max("priority").alias("priority"))
+        # (host/idx_id are url_norm-determined → any_value is exact)
+        .groupBy(F.col("_ci.url_norm").alias("url_norm"))
+        .agg(
+            F.max("priority").alias("priority"),
+            F.any_value(F.col("_ci.host")).alias("host"),
+            F.any_value(F.col("_ci.idx_id")).alias("idx_id"),
+        )
         .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
-        .withColumn("_hi", _host_id(F.col("url_norm")))
-        .withColumn("host", F.col("_hi.host"))
-        .withColumn("idx_id", F.col("_hi.idx_id"))
         .withColumn("status", F.lit("pending"))
         .withColumn("round", F.lit(round_no).cast("int"))
     )
@@ -204,9 +214,17 @@ class FrontierEngine:
         shards = self._read("urlseen_shards")
         robots = self._read("robots")
 
-        # 1. URL-seen: bloom prefilter + exact anti join
-        unseen = urlseen.filter_unseen(pending, shards, seen, self.n_shards).persist()
-        dup = pending.join(unseen.select("url_hash"), "url_hash", "left_anti")
+        # 1. URL-seen: bloom prefilter + exact anti join. When the seen set
+        # is provably empty (first round on a store), the whole machinery —
+        # bloom cogroup exchange + python stage + exact anti join — returns
+        # pending unchanged and dup is empty; short-circuit it (r6) instead
+        # of paying two stages for a no-op.
+        if seen_total == 0:
+            unseen = pending.persist()
+            dup = spark.createDataFrame([], pending.schema)
+        else:
+            unseen = urlseen.filter_unseen(pending, shards, seen, self.n_shards).persist()
+            dup = pending.join(unseen.select("url_hash"), "url_hash", "left_anti")
 
         # 2. robots gate
         gated = politeness.apply_robots_gate(unseen, robots)
@@ -443,14 +461,55 @@ class FrontierEngine:
         else:
             new_known_shards = None
 
+        # Overlap independent writes with the counters job (guide §2.6):
+        # meta/payload are pure projections of the proc cache, the seen-
+        # bloom extend reads only the sched_all cache + parent shards —
+        # all materialized by the proc job above and UNTOUCHED by the
+        # counters job below, so their commit writes can run on driver
+        # threads while the counters job computes. Their _sized targets
+        # never depended on the exact counters (meta/payload size off the
+        # parent-snapshot pending_out bound), so the written files are
+        # byte-identical to the old in-commit writes; the commit manifests
+        # the prewritten paths exactly as its own. A failure surfaces at
+        # fut.result() and aborts before the commit point (orphans inert).
+        from concurrent.futures import ThreadPoolExecutor
+
+        next_sid = self.store.next_snapshot_id()
+        early_pool = ThreadPoolExecutor(max_workers=5)
+        early_specs = [
+            ("meta_docs", meta, True),
+            ("payload_docs", payload, True),
+            ("urlseen_shards", new_shards, False),
+        ]
+        early_futs = {
+            name: (early_pool.submit(self.store.write_table, name, df, next_sid), is_append)
+            for name, df, is_append in early_specs
+        }
+
         if os.environ.get("FRONTIER_PROFILE"):
-            # split the fused counters job's inputs (opt-in, distorts the
-            # fused-phase number): settled materialization vs the
-            # link-discovery UDF chain behind pending_new
+            # split the counters job's inputs (opt-in, distorts the fused
+            # numbers): settled materialization vs the link-discovery UDF
+            # chain behind pending_new, measured sequentially
             settled_delta.count()
             _t = _mark("p_settled_materialize", _t)
             pending_new.count()
             _t = _mark("p_pending_links_udf", _t)
+        else:
+            # r6: materialize the two independent cache chains CONCURRENTLY
+            # (guide §2.6) — settled_delta (status anti joins) and
+            # pending_new (link-discovery UDF chain) share no lineage
+            # beyond the already-materialized proc/sched caches, and both
+            # must be warm before the counters agg + remaining commit
+            # writes read them. Sequentially they serialized inside one
+            # fused job; in parallel the wall is max, not sum, and they
+            # back-fill executors alongside the early writes above.
+            mat_futs = [
+                early_pool.submit(settled_delta.count),
+                early_pool.submit(pending_new.count),
+            ]
+            for f in mat_futs:
+                f.result()
+            _t = _mark("settled_pending_materialize", _t)
 
         # ALL round metrics in ONE aggregate job over a tagged union of the
         # persisted frames (the Metrics.counter analog, process.py:120).
@@ -522,10 +581,16 @@ class FrontierEngine:
             # partitions for the write — no recompute, no serialized
             # upstream chain
             "frontier_pending": _sized(pending_new, counters["pending_out"]),
-            "urlseen_shards": new_shards,
         }
         if new_known_shards is not None:
             tables["known_shards"] = new_known_shards
+        # join the overlapped writes (meta/payload/urlseen_shards) before
+        # the commit point; a failed early write raises here and aborts
+        prewritten = {
+            name: (fut.result(), is_append)
+            for name, (fut, is_append) in early_futs.items()
+        }
+        early_pool.shutdown()
         self.store.commit(
             tables=tables,
             append_tables={
@@ -547,13 +612,12 @@ class FrontierEngine:
                     ),
                     n_scheduled,
                 ),
-                "meta_docs": meta,
-                "payload_docs": payload,
             },
             carry_tables=["robots"],
             counters=counters,
             lineage=lineage,
             note=f"round-{round_no}",
+            prewritten=prewritten,
         )
         _mark("commit_writes", _t)
         if timing_on:

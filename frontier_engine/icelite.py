@@ -145,6 +145,49 @@ class IceLite:
 
     # ------------------------------------------------------------ commits
 
+    def next_snapshot_id(self) -> int:
+        """Id the NEXT commit will use (single-writer contract). Lets a
+        caller start independent table writes concurrently with its own
+        remaining compute and hand the finished paths to ``commit`` via
+        ``prewritten`` (guide §2.6 job overlap); a crash before the commit
+        point leaves them as inert orphans, exactly like an aborted
+        commit's own writes."""
+        self.prewrite_secs = {}  # reset before any write_table calls
+        cur = self.current_snapshot_id()
+        return 0 if cur is None else cur + 1
+
+    def _write_dataset(self, df: DataFrame, path: str) -> float:
+        """Write one table dir (orphan-guarded, errorifexists) and return
+        the wall seconds. snap ids are strictly newer than every COMMITTED
+        snapshot, so an existing dir at this path can only be an orphan
+        from a crash between data writes and the current.json commit
+        point. Atomically RENAME it aside before deleting: a
+        contract-violating concurrent same-id writer then still fails
+        loudly on its own errorifexists write (whoever wins the rename
+        removes only the dir it renamed)."""
+        t0 = time.perf_counter()
+        if os.path.exists(path):
+            import shutil
+
+            orphan = f"{path}.orphan-{os.getpid()}-{time.time_ns()}"
+            try:
+                os.rename(path, orphan)
+            except OSError:
+                pass  # another process already moved it aside
+            else:
+                shutil.rmtree(orphan, ignore_errors=True)
+        df.write.mode("errorifexists").parquet(path)
+        return round(time.perf_counter() - t0, 2)
+
+    def write_table(self, name: str, df: DataFrame, snap_id: int) -> str:
+        """Eagerly write ``name`` for the upcoming snapshot ``snap_id``
+        (from ``next_snapshot_id``); pass the returned path to ``commit``'s
+        ``prewritten``. The write happens NOW, on the caller's thread."""
+        path = os.path.join(self.root, "data", name, f"snap-{snap_id}")
+        self.prewrite_secs = getattr(self, "prewrite_secs", {})
+        self.prewrite_secs[name] = self._write_dataset(df, path)
+        return path
+
     def commit(
         self,
         tables: dict[str, DataFrame],
@@ -153,6 +196,7 @@ class IceLite:
         carry_tables: Optional[list[str]] = None,
         append_tables: Optional[dict[str, DataFrame]] = None,
         note: str = "",
+        prewritten: Optional[dict[str, tuple[str, bool]]] = None,
     ) -> int:
         """Atomically commit a new snapshot.
 
@@ -164,9 +208,19 @@ class IceLite:
                             (manifest points at the parent's files; no IO).
         ``counters``      — round metrics (fetched/skipped/dup…, north_rule).
         ``lineage``       — per-partition provenance rows.
+        ``prewritten``    — table → (path, is_append) already written via
+                            ``write_table`` for ``next_snapshot_id()``
+                            (overlapped with the caller's other compute);
+                            manifested exactly like this commit's own
+                            writes, stats included.
         """
         parent = self.current_snapshot_id()
         snap_id = 0 if parent is None else parent + 1
+        for name, (path, _a) in (prewritten or {}).items():
+            # single-writer contract: prewrites must target THIS snapshot
+            assert path.endswith(f"snap-{snap_id}"), (
+                f"prewritten {name} targets {path}, commit is snap-{snap_id}"
+            )
         parent_tables = self.snapshot(parent)["tables"] if parent is not None else {}
         manifest_tables: dict[str, str | list] = {}
         for t in carry_tables or []:
@@ -188,28 +242,7 @@ class IceLite:
 
         def _write(job):
             name, df, path, _ = job
-            t0 = time.perf_counter()
-            # snap_id is strictly newer than every COMMITTED snapshot, so
-            # under the store's single-writer contract an existing dir at
-            # this path can only be an orphan from a crash between data
-            # writes and the current.json commit point. Atomically RENAME
-            # it aside before deleting: a contract-violating concurrent
-            # same-id writer then still fails loudly on its own
-            # errorifexists write (its freshly-written dir is never
-            # silently deleted out from under it — whoever wins the rename
-            # removes only the dir it renamed).
-            if os.path.exists(path):
-                import shutil
-
-                orphan = f"{path}.orphan-{os.getpid()}-{time.time_ns()}"
-                try:
-                    os.rename(path, orphan)
-                except OSError:
-                    pass  # another process already moved it aside
-                else:
-                    shutil.rmtree(orphan, ignore_errors=True)
-            df.write.mode("errorifexists").parquet(path)
-            write_secs[name] = round(time.perf_counter() - t0, 2)
+            write_secs[name] = self._write_dataset(df, path)
 
         if len(jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -228,8 +261,15 @@ class IceLite:
                 _write(job)
         # per-table wall seconds (wall, not CPU: pool-overlapped writes
         # share executors) — commit-phase attribution for the scaling
-        # harness; read via ``last_write_secs`` after commit() returns
+        # harness; read via ``last_write_secs`` after commit() returns.
+        # Prewritten tables report their (overlapped) write_table walls.
+        write_secs.update(getattr(self, "prewrite_secs", {}))
         self.last_write_secs = write_secs
+        # prewritten tables join the manifest/stats path as zero-work jobs
+        jobs = jobs + [
+            (name, None, path, is_append)
+            for name, (path, is_append) in (prewritten or {}).items()
+        ]
         for name, _, path, is_append in jobs:
             if is_append:
                 prev = parent_tables.get(name, [])
