@@ -28,7 +28,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes an HTML page; a deterministic subset gets duplicate URLs with
     newer timestamps (keep-newest dedup targets) and non-canonical URL
     spellings (canonicalizer targets)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scale-adaptive scan fan-out (r6): the documents table is a single-
+    # row-group file, so the downstream canonicalize pandas UDF would run
+    # at scan parallelism (one task); load_wide is a no-op whenever the
+    # layout already provides >= cores/2 scan tasks
+    d = Q.load_wide(spark, sf_dir, "documents")
     host = F.concat(F.lit("site"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com"))
     url = F.concat(
         F.when(F.col("doc_id") % 11 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),

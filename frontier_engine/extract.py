@@ -479,6 +479,14 @@ _LANG_STOPWORDS = {
 }
 
 
+# inverted index token → languages whose stopword list contains it
+# (built once at import; drives the single-pass vote in detect_lang)
+_SW_INDEX: dict = {}
+for _lang in sorted(_LANG_STOPWORDS):
+    for _t in _LANG_STOPWORDS[_lang]:
+        _SW_INDEX.setdefault(_t, []).append(_lang)
+
+
 def detect_lang(text: str) -> Tuple[str, float]:
     """Deterministic fast language ID: script ranges for CJK/Cyrillic/Hangul,
     stopword voting for Latin-script languages. Returns (lang, score<=1)."""
@@ -512,13 +520,18 @@ def detect_lang(text: str) -> Tuple[str, float]:
     tokens = re.findall(r"[^\W\d_]+", sample.lower(), re.UNICODE)
     if not tokens:
         return "unknown", 0.0
-    # vote over unique-token counts (identical totals, ~#unique not #tokens
-    # membership probes per language)
+    # vote over unique-token counts via the inverted stopword index: ONE
+    # pass over unique tokens (dict lookup each) instead of one membership
+    # scan per language (r6; totals and tie-break identical — selection
+    # still walks languages in sorted order taking strictly-greater hits)
     tok_counts = Counter(tokens)
+    lang_hits: dict[str, int] = {}
+    for t, c in tok_counts.items():
+        for lang in _SW_INDEX.get(t, ()):
+            lang_hits[lang] = lang_hits.get(lang, 0) + c
     best_lang, best_hits = "unknown", 0
     for lang in sorted(_LANG_STOPWORDS):
-        sw = _LANG_STOPWORDS[lang]
-        hits = sum(c for t, c in tok_counts.items() if t in sw)
+        hits = lang_hits.get(lang, 0)
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     score = best_hits / len(tokens)

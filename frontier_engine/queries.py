@@ -225,9 +225,20 @@ def lookup_join(spark, sf_dir):
     """,
 )
 def seen_anti_join(spark, sf_dir):
-    """URL-seen subtraction shape (SURVEY §2.3): left_anti join."""
+    """URL-seen subtraction shape (SURVEY §2.3): left_anti join.
+
+    r6 (guide §3.1): the exclusion side is projected to its distinct join
+    keys and broadcast — an anti join only needs key membership, so the
+    distinct collapses the fact table to its key set and the broadcast
+    replaces the sort-merge anti (both sides shuffled+sorted) with a
+    broadcast hash anti of the probe side (measured 0.97→0.68 s at sf1.0).
+    Anti-join semantics are key-set semantics: distinct changes nothing."""
     c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    return c.join(
+        F.broadcast(o.select("o_custkey").distinct()),
+        c.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
 
 
 @q(

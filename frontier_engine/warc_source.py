@@ -339,6 +339,11 @@ def plan_warc_splits(spark: SparkSession, glob: str,
     resync on record boundaries. The index is tiny (one row per ~32 MB) and
     cacheable; re-ingest runs read only their ranges."""
     files = spark.read.format("binaryFile").load(glob).select("path")
+    # r6: binaryFile packs small files into few partitions by byte size
+    # (128 MB default), so the index pass — which decompresses every file —
+    # otherwise runs on one or two tasks. Round-robin the path rows across
+    # the cluster; at scale (files ≫ cores) this only evens out the packing.
+    files = files.repartition(spark.sparkContext.defaultParallelism)
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os as _os
