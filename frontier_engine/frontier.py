@@ -344,6 +344,11 @@ class FrontierEngine:
         # the write files stay right-sized either way.
         def _sized(df: DataFrame, est_rows: int = n_pending_in,
                    rows_per_part: int = 65536) -> DataFrame:
+            # CONTRACT: call only on persisted-and-materialized frames or
+            # pure projections of them. df.rdd below compiles a physical
+            # plan (and under AQE can eagerly materialize shuffle stages);
+            # it is cheap here only because every input is a narrow view of
+            # an already-materialized cache (ADVICE r5).
             target = int(min(max(1, est_rows // rows_per_part + 1), n_part))
             # coalesce merges by PULLING sibling partitions into the
             # surviving tasks — on multi-JVM executors that is remote
@@ -527,7 +532,18 @@ class FrontierEngine:
             ))
             .unionByName(tag(proc, "docs", F.col("doc.skip_reason"), F.lit("")))
         )
-        agg = tagged.groupBy("kind", "k1", "k2").agg(F.count(F.lit(1)).alias("n"))
+        # r6: every input of this union is a MATERIALIZED cache (proc/sched
+        # via the fused job, settled/pending via the parallel counts above),
+        # so each is a leaf InMemoryTableScan and the union schedules the
+        # SUM of their partition counts (~hundreds of ~ms tasks — pure
+        # scheduler latency). coalesce here merges cache-scan partitions
+        # narrowly; it cannot serialize upstream compute because there is
+        # none left (contrast the _sized placement rule below).
+        agg = (
+            tagged.coalesce(spark.sparkContext.defaultParallelism)
+            .groupBy("kind", "k1", "k2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
         if os.environ.get("FRONTIER_PROFILE"):
             # Driver-side Catalyst cost of the fused job, separated from its
             # execution: force analyze→optimize→physical planning without

@@ -285,20 +285,28 @@ class IceLite:
         # pruning for the whole file list.
         parent_stats = self.snapshot(parent).get("stats", {}) if parent is not None else {}
         stats: dict[str, dict] = {}
-        for name, col in self.stats_columns.items():
+        # Carry parent file stats forward for EVERY table whose files are
+        # still live — not only the tables this instance declares
+        # stats_columns for (ADVICE r5: a commit by a writer constructed
+        # without stats_columns, e.g. ensure_table/stream_to_icelite on the
+        # same store, used to write stats={} and silently disable round
+        # pruning from that snapshot on). New files only get stats when the
+        # writing instance declares the column.
+        for name, pstats in parent_stats.items():
             live = manifest_tables.get(name)
             if live is None:
                 continue
             live_dirs = set(live if isinstance(live, list) else [live])
-            carried = {
-                f: s
-                for f, s in parent_stats.get(name, {}).items()
-                if os.path.dirname(f) in live_dirs
-            }
+            carried = {f: s for f, s in pstats.items() if os.path.dirname(f) in live_dirs}
+            if carried:
+                stats[name] = carried
+        for name, col in self.stats_columns.items():
+            if manifest_tables.get(name) is None:
+                continue
+            carried = stats.setdefault(name, {})
             for jname, _, path, _ in jobs:
                 if jname == name:
                     carried.update(_collect_file_stats(path, col))
-            stats[name] = carried
         manifest = {
             "id": snap_id,
             "parent": parent,

@@ -190,6 +190,25 @@ class TestFrontierRounds:
         none = eng.store.read(spark, "frontier_log", prune=("round", 99, 99))
         assert none.count() == 0 and none.columns == full.columns
 
+    def test_stats_survive_statless_writer_commit(self, spark, run3):
+        """A commit by an IceLite instance constructed WITHOUT stats_columns
+        (ensure_table / streaming sink on the same store) must carry the
+        parent's file stats forward for live files instead of writing
+        stats={} and silently disabling round pruning (ADVICE r5)."""
+        from frontier_engine.icelite import IceLite, ensure_table
+
+        eng, counters = run3
+        before = eng.store.snapshot(eng.store.current_snapshot_id())["stats"]
+        assert before.get("frontier_log")
+        statless = IceLite(eng.store.root)  # no stats_columns declared
+        ensure_table(statless, spark, "side_table", "k long")
+        after = statless.snapshot(statless.current_snapshot_id())["stats"]
+        assert after.get("frontier_log") == before["frontier_log"]
+        # pruning still works from the new snapshot
+        k = counters[1]["round"]
+        pruned = statless.read(spark, "frontier_log", prune=("round", k, k))
+        assert len(pruned.inputFiles()) == 1
+
     def test_lineage_recorded(self, run3):
         eng, _ = run3
         snaps = eng.store.snapshots()
