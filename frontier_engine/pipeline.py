@@ -309,9 +309,22 @@ def skip_counters(proc: DataFrame) -> DataFrame:
 
 def run_pipeline(pages: DataFrame, id_prefix: str = "synth", always_index_meta: bool = False) -> dict:
     """Full flagship pipeline. Returns dict of DataFrames; `proc` is cached
-    because meta and payload branch from it (beam fan-out analog)."""
+    because meta and payload branch from it (beam fan-out analog).
+
+    r6 plan-shape change (guide §8: move heavy payloads once): the html
+    column used to cross TWO exchanges — the dedup window's url_norm hash
+    shuffle and then a salted host repartition feeding the extraction UDF.
+    The salt's job (spread hot hosts) is already done by hash(url_norm):
+    distinct URLs of one host hash uniformly. So the pipeline now
+    repartitions ONCE by url_norm with an explicit width; the window's
+    ClusteredDistribution(url_norm) is satisfied by that partitioning (no
+    second exchange — plan-tested), and the explicit numPartitions keeps
+    AQE from byte-coalescing the stage that feeds the ~10³×-heavier-than-
+    relational extraction UDF (the reason the old salt step pinned a
+    width explicitly)."""
     n_part = pages.sparkSession.sparkContext.defaultParallelism * 2
-    proc = processed(dedup_newest(canonicalized(pages)), id_prefix=id_prefix, repartition_to=n_part)
+    prepared = dedup_newest(canonicalized(pages).repartition(n_part, F.col("url_norm")))
+    proc = processed(prepared, id_prefix=id_prefix, repartition_to=None)
     proc = proc.persist()
     return {
         "proc": proc,
