@@ -52,7 +52,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     # join + checkpoint. `und` is symmetric, so its `a` side covers every
     # endpoint.
     edge_nodes = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
-    labels = edge_nodes.select(F.col("id"), F.col("id").alias("cluster_id")).localCheckpoint()
+    # narrow projection of the checkpointed edge_nodes — no checkpoint of
+    # its own needed (a second materialization job would duplicate it)
+    labels = edge_nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["id"])
@@ -94,12 +96,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
 def lsh_star_edges(bands: DataFrame) -> DataFrame:
     """Near-dup edges from LSH band buckets as stars: every bucket member
     links to the bucket's min doc_id. Linear in bucket size (k-1 edges for
-    a k-doc bucket, not k²) and component-equivalent to the full clique."""
-    roots = bands.groupBy("band", "bucket").agg(
-        F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("n")
-    )
+    a k-doc bucket, not k²) and component-equivalent to the full clique.
+
+    r6: bucket roots/sizes come from window aggregates over one
+    (band, bucket) exchange instead of groupBy + join-back, which shuffled
+    the bands twice more (agg side + probe side) for the identical rows
+    (guide §2.4: two operations keyed the same way share one exchange)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket")
     return (
-        bands.join(roots, ["band", "bucket"])
+        bands.withColumn("root", F.min("doc_id").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
         .where((F.col("n") > 1) & (F.col("doc_id") != F.col("root")))
         .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
         .distinct()
