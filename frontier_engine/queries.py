@@ -1062,7 +1062,9 @@ def ann_cosine_threshold(spark, sf_dir):
     from frontier_engine.simsearch import cosine_to_query, l2_norm_col
 
     emb = load_wide(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # qv is ONE row: read it off the plain scan (pushed filter, no fan-out
+    # shuffle in the broadcast build); the corpus side stays fanned out
+    qv = load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = cosine_to_query(emb.where(F.col("vec_id") != 0), qv, keep_cols=["embedding"])
     return (
         cos.where(F.col("cos") >= 0.2)
@@ -1086,7 +1088,7 @@ def ann_topk_per_label(spark, sf_dir):
     from frontier_engine.simsearch import cosine_to_query
 
     emb = load_wide(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = cosine_to_query(emb.where(F.col("vec_id") != 0), qv, keep_cols=["label"])
     w = Window.partitionBy("label").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -1188,7 +1190,7 @@ def ann_ivf_probe(spark, sf_dir):
     from frontier_engine.simsearch import cosine_to_query, ivf_probe_cluster, kmeans_lloyd
 
     emb = load_wide(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     assign, cent = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
     probe = ivf_probe_cluster(qv, cent, nprobe=2)
     # assign carries (vec_id, cluster, embedding) — the old
