@@ -214,14 +214,25 @@ class FrontierEngine:
         shards = self._read("urlseen_shards")
         robots = self._read("robots")
 
-        # 1. URL-seen: bloom prefilter + exact anti join. When the seen set
-        # is provably empty (first round on a store), the whole machinery —
-        # bloom cogroup exchange + python stage + exact anti join — returns
-        # pending unchanged and dup is empty; short-circuit it (r6) instead
-        # of paying two stages for a no-op.
+        # 1. URL-seen: bloom prefilter + exact anti join. Two scale-adaptive
+        # short-circuits (r6), both decided from the free seen_total counter:
+        # - seen empty (first round on a store): the whole machinery is a
+        #   provable no-op; return pending unchanged, dup empty.
+        # - seen SMALL (fits a broadcast — ~16 B/hash, gate at 1M rows ≈
+        #   16 MB): a broadcast hash anti join of pending against the seen
+        #   keys is strictly cheaper than bloom-marking (shard exchange +
+        #   python stage) followed by the same exact anti — the bloom
+        #   exists to prune a SHUFFLE the broadcast regime never pays.
+        #   dup is the complementary semi join (pending ∩ seen keys ≡
+        #   pending minus unseen). Production crawls exceed the gate within
+        #   a few rounds and take the sharded-bloom path unchanged.
         if seen_total == 0:
             unseen = pending.persist()
             dup = spark.createDataFrame([], pending.schema)
+        elif seen_total <= 1_000_000:
+            seen_keys = F.broadcast(seen.select("url_hash"))
+            unseen = pending.join(seen_keys, "url_hash", "left_anti").persist()
+            dup = pending.join(seen_keys, "url_hash", "left_semi")
         else:
             unseen = urlseen.filter_unseen(pending, shards, seen, self.n_shards).persist()
             dup = pending.join(unseen.select("url_hash"), "url_hash", "left_anti")
@@ -426,9 +437,22 @@ class FrontierEngine:
         # exact left_anti). Without this, the append-only known table —
         # ~80 GB of hashes at 10^10 URLs — shuffles in full every round;
         # with it the exact join input is ≈ |discovered ∩ known| + FPR·rest.
+        # r6: while the known set is still broadcast-sized (same rationale
+        # and gate as the seen path above; known_total is the exact append
+        # count summed from snapshot counters — no job), a broadcast hash
+        # anti join beats the bloom mark + exact anti outright.
         # known_shards is None only for stores created before this table
         # existed — fall back to the plain exact anti join there.
-        if known_shards is not None:
+        known_total = sum(
+            s.get("counters", {}).get("seeded", 0)
+            + s.get("counters", {}).get("discovered_new", 0)
+            for s in self.store.snapshots()
+        )
+        if known_total <= 1_000_000:
+            new_pending = discovered.join(
+                F.broadcast(known.select("url_hash")), "url_hash", "left_anti"
+            )
+        elif known_shards is not None:
             new_pending = urlseen.filter_unseen(
                 discovered, known_shards, known, self.n_shards
             )
