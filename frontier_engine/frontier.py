@@ -504,7 +504,7 @@ class FrontierEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         next_sid = self.store.next_snapshot_id()
-        early_pool = ThreadPoolExecutor(max_workers=5)
+        early_pool = ThreadPoolExecutor(max_workers=7)
         early_specs = [
             ("meta_docs", meta, True),
             ("payload_docs", payload, True),
@@ -523,69 +523,39 @@ class FrontierEngine:
             _t = _mark("p_settled_materialize", _t)
             pending_new.count()
             _t = _mark("p_pending_links_udf", _t)
-        else:
-            # r6: materialize the two independent cache chains CONCURRENTLY
-            # (guide §2.6) — settled_delta (status anti joins) and
-            # pending_new (link-discovery UDF chain) share no lineage
-            # beyond the already-materialized proc/sched caches, and both
-            # must be warm before the counters agg + remaining commit
-            # writes read them. Sequentially they serialized inside one
-            # fused job; in parallel the wall is max, not sum, and they
-            # back-fill executors alongside the early writes above.
-            mat_futs = [
-                early_pool.submit(settled_delta.count),
-                early_pool.submit(pending_new.count),
-            ]
-            for f in mat_futs:
-                f.result()
-            _t = _mark("settled_pending_materialize", _t)
-
-        # ALL round metrics in ONE aggregate job over a tagged union of the
-        # persisted frames (the Metrics.counter analog, process.py:120).
-        # Every extra driver action pays Catalyst planning + scheduling on
-        # these large plan trees — a fixed serial cost per round that a
-        # single fused job pays once.
-        tag = lambda df, kind, k1, k2: df.select(
-            F.lit(kind).alias("kind"), k1.alias("k1"), k2.alias("k2")
+        # ALL round metrics via four CONCURRENT per-frame aggregations in
+        # the same pool as the early writes (guide §2.6) — the Metrics.counter
+        # analog, process.py:120. The settled/pending aggs double as the
+        # materialization of those caches (a groupBy over an unmaterialized
+        # persisted frame computes and caches every partition, exactly like
+        # the count() it replaces); the scheduled/proc aggs read caches the
+        # fused job above already materialized. The r5 design fused
+        # everything into ONE tagged-union job to pay driver-action latency
+        # once — but that job was SERIAL after the materialization counts;
+        # running the four small aggs concurrently folds the whole counters
+        # wall into the materialization window. Keys never collide across
+        # the two status frames (settled statuses ≠ 'pending').
+        s_fut = early_pool.submit(
+            lambda: settled_delta.groupBy("status", "round").agg(F.count(F.lit(1)).alias("n")).collect()
         )
-        tagged = (
-            tag(settled_delta.unionByName(pending_new), "status", F.col("status"), F.col("round").cast("string"))
-            .unionByName(tag(
-                scheduled, "shard",
-                urlseen.shard_of(F.col("url_hash"), self.n_shards).cast("string"), F.lit(""),
-            ))
-            .unionByName(tag(proc, "docs", F.col("doc.skip_reason"), F.lit("")))
+        p_fut = early_pool.submit(
+            lambda: pending_new.groupBy("status", "round").agg(F.count(F.lit(1)).alias("n")).collect()
         )
-        # r6: every input of this union is a MATERIALIZED cache (proc/sched
-        # via the fused job, settled/pending via the parallel counts above),
-        # so each is a leaf InMemoryTableScan and the union schedules the
-        # SUM of their partition counts (~hundreds of ~ms tasks — pure
-        # scheduler latency). coalesce here merges cache-scan partitions
-        # narrowly; it cannot serialize upstream compute because there is
-        # none left (contrast the _sized placement rule below).
-        agg = (
-            tagged.coalesce(spark.sparkContext.defaultParallelism)
-            .groupBy("kind", "k1", "k2")
-            .agg(F.count(F.lit(1)).alias("n"))
+        shard_fut = early_pool.submit(
+            lambda: scheduled.groupBy(
+                urlseen.shard_of(F.col("url_hash"), self.n_shards).alias("shard_id")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
         )
-        if os.environ.get("FRONTIER_PROFILE"):
-            # Driver-side Catalyst cost of the fused job, separated from its
-            # execution: force analyze→optimize→physical planning without
-            # running anything (AQE's runtime re-planning still lands in the
-            # exec mark). The same QueryExecution is reused by the collect.
-            agg._jdf.queryExecution().executedPlan()
-            _t = _mark("p_counters_planning", _t)
-        rows = agg.collect()
+        docs_fut = early_pool.submit(
+            lambda: proc.groupBy(F.col("doc.skip_reason").alias("reason"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        )
         status_counts = {
-            (r["k1"], int(r["k2"])): r["n"] for r in rows if r["kind"] == "status"
+            (r["status"], int(r["round"])): r["n"] for r in s_fut.result() + p_fut.result()
         }
-        n_docs_ok = sum(r["n"] for r in rows if r["kind"] == "docs" and r["k1"] == "")
+        n_docs_ok = sum(r["n"] for r in docs_fut.result() if r["reason"] == "")
         lineage = sorted(
-            (
-                {"shard_id": int(r["k1"]), "scheduled": r["n"]}
-                for r in rows
-                if r["kind"] == "shard"
-            ),
+            ({"shard_id": int(r["shard_id"]), "scheduled": r["n"]} for r in shard_fut.result()),
             key=lambda d: d["shard_id"],
         )
         _t = _mark("counters_lineage_job", _t)
